@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``entry()`` as a smoke check (Ray already initialised),
+runs each ``queries()[name](sf_dir)`` at sf=0.01 and compares against
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash).  No ray.init()/shutdown() here (driver owns the session).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Engine: s2_geometry_rust_ray — see SURVEY.md.  Geotags are derived
+deterministically from integer row keys (functions/geo.py) with IEEE-exact
+arithmetic so the DuckDB oracles reproduce the engine's float64 lat/lng and
+64-bit S2 cell ids BIT-EXACTLY (the oracle's Hilbert encode is an independent
+1-bit-per-level recursive-CTE implementation vs the engine's 4-bit nibble
+lookup — agreement is a genuine cross-check).
 """
 
 from __future__ import annotations
@@ -18,27 +18,79 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+LINEITEM_KEY_SQL = "l_orderkey * 8 + l_linenumber"
+LINEITEM_SRC = f"SELECT {LINEITEM_KEY_SQL} AS k FROM lineitem"
+DOCS_SRC = "SELECT doc_id FROM documents"
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _lineitem_keys(sf_dir: str):
+    """lineitem with a unique integer key (l_orderkey*8 + l_linenumber)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+
+    def add_key(batch):
+        k = pc.add(
+            pc.multiply(batch["l_orderkey"], 8),
+            pc.cast(batch["l_linenumber"], batch["l_orderkey"].type),
+        )
+        return batch.append_column("k", k).select(["k"])
+
+    return ds.map_batches(add_key, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship pipeline at sf0.001
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: lineitem keys -> geotags -> leaf S2 cells -> tile counts."""
+    from s2_geometry_rust_ray.pipelines import tiling
 
+    ds = _lineitem_keys("/root/testdata/sf0.001")
+    return tiling.tile_counts(ds, "k", level=8)
+
+
+# ---------------------------------------------------------------------------
+# queries / oracle_sql
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from s2_geometry_rust_ray.pipelines import tiling
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_encode_docs(sf_dir: str):
+        ds = _read(sf_dir, "documents", columns=["doc_id"])
+        return tiling.cell_encode_table(ds, "doc_id", "doc_id")
+
+    def q_tile_l8(sf_dir: str):
+        return tiling.tile_counts(_lineitem_keys(sf_dir), "k", level=8)
+
+    def q_tile_l12(sf_dir: str):
+        return tiling.tile_counts(_lineitem_keys(sf_dir), "k", level=12)
+
+    def q_face_hist(sf_dir: str):
+        return tiling.face_histogram(_lineitem_keys(sf_dir), "k")
+
+    return {
+        "s2_cell_encode_docs": q_encode_docs,
+        "s2_tile_counts_l8": q_tile_l8,
+        "s2_tile_counts_l12": q_tile_l12,
+        "s2_face_histogram": q_face_hist,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from s2_geometry_rust_ray.oracle import sql as osql
+
+    return {
+        "s2_cell_encode_docs": osql.q_cell_encode(DOCS_SRC, "doc_id", "doc_id"),
+        "s2_tile_counts_l8": osql.q_tile_counts(LINEITEM_SRC, "k", 8),
+        "s2_tile_counts_l12": osql.q_tile_counts(LINEITEM_SRC, "k", 12),
+        "s2_face_histogram": osql.q_face_histogram(LINEITEM_SRC, "k"),
+    }

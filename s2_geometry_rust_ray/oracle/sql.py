@@ -1,0 +1,140 @@
+"""DuckDB-SQL twins of the S2 kernels, for the driver's correctness oracle.
+
+Generates ANSI SQL that reproduces the engine's lat/lng -> leaf S2CellId
+encode *bit-exactly*: the kernel path was deliberately restricted to IEEE
+correctly-rounded ops (+ - * / sqrt) plus sin/cos (verified bit-identical
+between NumPy and DuckDB on this platform), and the Hilbert traversal is
+expressed as a 30-step recursive CTE over the same 4x4 traversal tables
+(IJ_TO_POS / POS_TO_ORIENTATION, /root/reference/src/math.rs:81-99).
+
+This is an *independent second implementation* (1-bit-per-level vs the
+engine's 4-bit lookup nibbles), so oracle agreement is a real cross-check,
+not a tautology.
+"""
+
+from __future__ import annotations
+
+from ..functions.coords import IJ_TO_POS, POS_TO_ORIENTATION
+from ..functions.geo import sql_latlng_cte
+
+ALL_ONES = "18446744073709551615::UBIGINT"
+
+
+def _lut_values() -> str:
+    rows = []
+    for o in range(4):
+        for ij in range(4):
+            pos = int(IJ_TO_POS[o][ij])
+            orient = o ^ int(POS_TO_ORIENTATION[pos])
+            rows.append(f"({o},{ij},{pos},{orient})")
+    return ", ".join(rows)
+
+
+def cte_encode(src_sql: str, key_expr: str) -> str:
+    """WITH-RECURSIVE prefix ending in CTEs:
+
+    __geo(key, lat, lng)        derived geotags (bit-exact twin of geo.py)
+    __fuv(key, face, x, y, z)   cube face
+    __ij(key, face, i, j)       30-bit leaf coords
+    __cell(key, face, i, j, cell_id)  leaf S2 cell id (UBIGINT)
+    """
+    geo = sql_latlng_cte(src_sql, key_expr)
+    return f"""WITH RECURSIVE {geo},
+  __xyz AS (
+    SELECT key, lat, lng,
+           cos(lat*(pi()/180.0)) * cos(lng*(pi()/180.0)) AS x,
+           cos(lat*(pi()/180.0)) * sin(lng*(pi()/180.0)) AS y,
+           sin(lat*(pi()/180.0)) AS z
+    FROM __geo
+  ),
+  __fuv AS (
+    SELECT key, lat, lng, x, y, z,
+           CAST(CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+                  THEN CASE WHEN x < 0 THEN 3 ELSE 0 END
+                WHEN abs(y) >= abs(z)
+                  THEN CASE WHEN y < 0 THEN 4 ELSE 1 END
+                ELSE CASE WHEN z < 0 THEN 5 ELSE 2 END END AS BIGINT) AS face
+    FROM __xyz
+  ),
+  __uv AS (
+    SELECT key, lat, lng, face,
+           CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                     WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+           CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                     WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+    FROM __fuv
+  ),
+  __st AS (
+    SELECT key, lat, lng, face,
+           CASE WHEN u >= 0.0 THEN 0.5 * sqrt(1.0 + 3.0*u)
+                ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0*u) END AS s,
+           CASE WHEN v >= 0.0 THEN 0.5 * sqrt(1.0 + 3.0*v)
+                ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0*v) END AS t
+    FROM __uv
+  ),
+  __ij AS (
+    SELECT key, lat, lng, face,
+           least(greatest(cast(trunc(1073741824.0 * s) AS BIGINT), 0), 1073741823) AS i,
+           least(greatest(cast(trunc(1073741824.0 * t) AS BIGINT), 0), 1073741823) AS j
+    FROM __st
+  ),
+  __lut(o, ij, pos, orient) AS (VALUES {_lut_values()}),
+  __hil AS (
+    SELECT key, 29 AS k, face::UBIGINT AS n, (face % 2) AS o, face, i, j
+    FROM __ij
+    UNION ALL
+    SELECT h.key, h.k - 1, h.n * 4 + l.pos, l.orient, h.face, h.i, h.j
+    FROM __hil h JOIN __lut l
+      ON l.o = h.o AND l.ij = ((h.i >> h.k) & 1) * 2 + ((h.j >> h.k) & 1)
+    WHERE h.k >= 0
+  ),
+  __cell AS (
+    SELECT key, face, i, j, n * 2 + 1 AS cell_id
+    FROM __hil WHERE k = -1
+  )"""
+
+
+def sql_cell_hex(expr: str) -> str:
+    """UBIGINT expr -> 16-char lowercase hex (matches cellid.to_hex)."""
+    return f"lower(lpad(hex({expr}), 16, '0'))"
+
+
+def sql_parent(expr: str, level: int) -> str:
+    """Parent cell at `level` from a *leaf* UBIGINT cell id, via
+    (id & -lsb) | lsb with -lsb written as xor(lsb-1, ~0)."""
+    shift = 2 * (30 - level)
+    lsb = f"(1::UBIGINT << {shift})"
+    return f"((({expr}) & xor({lsb} - 1, {ALL_ONES})) | {lsb})"
+
+
+def q_cell_encode(src_sql: str, key_expr: str, key_name: str) -> str:
+    """Per-row leaf encode: (key, lat, lng, face, cell_token)."""
+    return (
+        cte_encode(src_sql, key_expr)
+        + f"""
+  SELECT c.key AS {key_name}, g.lat, g.lng, c.face,
+         {sql_cell_hex('c.cell_id')} AS cell_token
+  FROM __cell c JOIN __geo g ON g.key = c.key
+  ORDER BY 1"""
+    )
+
+
+def q_tile_counts(src_sql: str, key_expr: str, level: int) -> str:
+    """Tile assignment: groupby parent cell at `level` -> count."""
+    return (
+        cte_encode(src_sql, key_expr)
+        + f"""
+  SELECT {sql_cell_hex(sql_parent('cell_id', level))} AS tile_token,
+         count(*) AS n
+  FROM __cell
+  GROUP BY 1"""
+    )
+
+
+def q_face_histogram(src_sql: str, key_expr: str) -> str:
+    """Rows per cube face (no Hilbert needed — exercises xyz/face kernel)."""
+    return (
+        cte_encode(src_sql, key_expr)
+        + """
+  SELECT face, count(*) AS n FROM __fuv GROUP BY 1"""
+    )

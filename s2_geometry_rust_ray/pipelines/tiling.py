@@ -1,0 +1,102 @@
+"""Tile-assignment pipelines: encode points -> groupby S2 cell -> tile stats.
+
+The first shuffle of the engine (SURVEY.md §7.3): groupby key is the parent
+cell `cell_l{K}`.  At 100 TB the groupby is preceded by a *partial* per-batch
+combine (one row per tile per batch) so the all-to-all exchange moves tile
+partials, not raw rows — between 100x and 10^5x less data depending on K.
+Hot tiles (urban clusters) are handled by the partial combine itself: a batch
+contributes at most one row per tile regardless of skew.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..functions import cellid
+from ..stages import agg
+from ..stages.encode import geotag_and_encode
+
+
+def tile_partial_counts(level: int):
+    """Per-batch combiner: cell_id column -> one (tile, partial n) row per
+    distinct tile in the batch.  This is the map-side combine that makes the
+    global groupby small."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cid = batch["cell_id"].to_numpy(zero_copy_only=False)
+        tiles = cellid.to_sort_key(cellid.parent(cid, level))
+        uniq, counts = np.unique(tiles, return_counts=True)
+        return pa.table({"tile": uniq, "n_partial": counts.astype(np.int64)})
+
+    return fn
+
+
+def tile_counts(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    level: int,
+    batch_size: int = 131072,
+    final: str = "single",
+) -> "ray.data.Dataset":
+    """key -> geotag -> leaf cell -> tile counts at `level`.
+
+    Returns a Dataset with columns (tile_token:str, n:int64).  The groupby is
+    the sort-exchange aggregate from stages/agg.py (map-side partial combine
+    first); pass final='sorted' for high tile levels whose cardinality should
+    stay distributed.
+    """
+    encoded = ds.map_batches(
+        geotag_and_encode(key_col), batch_format="pyarrow", batch_size=batch_size
+    )
+    partials = encoded.map_batches(
+        tile_partial_counts(level), batch_format="pyarrow", batch_size=batch_size
+    )
+    summed = agg.sum_by_key(partials, "tile", ["n_partial"], final=final)
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        toks = cellid.to_hex(
+            cellid.from_sort_key(batch["tile"].to_numpy(zero_copy_only=False))
+        )
+        return pa.table(
+            {"tile_token": toks, "n": batch["n_partial"].to_numpy(zero_copy_only=False)}
+        )
+
+    return summed.map_batches(tokenize, batch_format="pyarrow")
+
+
+def face_histogram(ds: "ray.data.Dataset", key_col: str) -> "ray.data.Dataset":
+    """Rows per cube face — minimal smoke aggregate over the encode kernel."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = geotag_and_encode(key_col, with_face=True)(batch)
+        face = batch["face"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(face, return_counts=True)
+        return pa.table({"face": uniq, "n": counts.astype(np.int64)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return agg.sum_by_key(partials, "face", ["n"], final="single")
+
+
+def cell_encode_table(
+    ds: "ray.data.Dataset", key_col: str, key_name: str
+) -> "ray.data.Dataset":
+    """Per-row encode result (key, lat, lng, face, cell_token) — the
+    oracle-compared per-row pipeline."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = geotag_and_encode(key_col, with_face=True, with_token=True)(batch)
+        return pa.table(
+            {
+                key_name: batch[key_col],
+                "lat": batch["lat"],
+                "lng": batch["lng"],
+                "face": batch["face"],
+                "cell_token": batch["cell_token"],
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

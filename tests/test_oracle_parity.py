@@ -1,0 +1,53 @@
+"""Ray pipeline vs DuckDB-SQL oracle parity at sf0.001 — the same comparison
+the driver performs at sf0.01, run in-suite so regressions surface early.
+Everything must match BIT-EXACTLY (float64 lat/lng included)."""
+
+import duckdb
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["documents", "lineitem", "events", "embeddings", "orders", "customer"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _compare(df_ray, df_sql, sort_cols):
+    a = df_ray.sort_values(sort_cols).reset_index(drop=True)
+    b = df_sql.sort_values(sort_cols).reset_index(drop=True)
+    assert len(a) == len(b), (len(a), len(b))
+    assert sorted(a.columns) == sorted(b.columns), (a.columns, b.columns)
+    for c in a.columns:
+        av, bv = a[c].values, b[c].values
+        assert (av == bv).all(), f"column {c} mismatch: {av[av != bv][:5]} vs {bv[av != bv][:5]}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["s2_cell_encode_docs", "s2_tile_counts_l8", "s2_tile_counts_l12", "s2_face_histogram"],
+)
+def test_query_matches_oracle(ray_session, con, name):
+    import __ray_entry__ as e
+
+    res = e.queries()[name](SF)
+    if hasattr(res, "to_pandas"):
+        res = res.to_pandas()
+    ora = con.sql(e.oracle_sql()[name]).df()
+    sort_cols = [res.columns[0]]
+    _compare(res, ora, sort_cols)
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    df = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+    assert len(df) > 0
+    assert "tile_token" in df.columns and "n" in df.columns
+    assert df["n"].sum() > 0
