@@ -62,6 +62,7 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from s2_geometry_rust_ray.pipelines import pip as ppip
     from s2_geometry_rust_ray.pipelines import tiling
 
     def q_encode_docs(sf_dir: str):
@@ -77,20 +78,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_face_hist(sf_dir: str):
         return tiling.face_histogram(_lineitem_keys(sf_dir), "k")
 
+    def q_pip(sf_dir: str):
+        ds = _read(sf_dir, "documents", columns=["doc_id"])
+        return ppip.pip_join(ds, "doc_id")
+
+    def q_pip_lineitem(sf_dir: str):
+        # the synthetic lineitem has duplicate (orderkey, linenumber) pairs;
+        # the PIP parity oracle groups by key, so join over DISTINCT keys
+        from s2_geometry_rust_ray.stages import agg
+
+        return ppip.pip_join(agg.distinct_keys(_lineitem_keys(sf_dir), "k"), "k")
+
+    def q_caps(sf_dir: str):
+        ds = _read(sf_dir, "documents", columns=["doc_id"])
+        return ppip.cap_join(ds, "doc_id")
+
+    def q_rects(sf_dir: str):
+        return ppip.rect_join(_lineitem_keys(sf_dir), "k")
+
+    def q_knn(sf_dir: str):
+        from s2_geometry_rust_ray.pipelines import knn
+
+        ds = _read(sf_dir, "documents", columns=["doc_id"])
+        return knn.knn_brute(ds, "doc_id", k=5, n_queries=25)
+
     return {
         "s2_cell_encode_docs": q_encode_docs,
         "s2_tile_counts_l8": q_tile_l8,
         "s2_tile_counts_l12": q_tile_l12,
         "s2_face_histogram": q_face_hist,
+        "s2_pip_join_docs": q_pip,
+        "s2_pip_join_lineitem": q_pip_lineitem,
+        "s2_cap_join_docs": q_caps,
+        "s2_rect_join_lineitem": q_rects,
+        "s2_knn_docs": q_knn,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from s2_geometry_rust_ray.oracle import knn_sql, pip_sql
     from s2_geometry_rust_ray.oracle import sql as osql
+    from s2_geometry_rust_ray.pipelines import pip as ppip
 
+    layer = ppip.standard_polygon_layer()
     return {
         "s2_cell_encode_docs": osql.q_cell_encode(DOCS_SRC, "doc_id", "doc_id"),
         "s2_tile_counts_l8": osql.q_tile_counts(LINEITEM_SRC, "k", 8),
         "s2_tile_counts_l12": osql.q_tile_counts(LINEITEM_SRC, "k", 12),
         "s2_face_histogram": osql.q_face_histogram(LINEITEM_SRC, "k"),
+        "s2_pip_join_docs": pip_sql.q_pip_join(DOCS_SRC, "doc_id", layer, "doc_id"),
+        "s2_pip_join_lineitem": pip_sql.q_pip_join(
+            f"SELECT DISTINCT {LINEITEM_KEY_SQL} AS k FROM lineitem", "k", layer, "k"
+        ),
+        "s2_cap_join_docs": pip_sql.q_region_join_caps(
+            DOCS_SRC, "doc_id", ppip.standard_caps(), "doc_id"
+        ),
+        "s2_rect_join_lineitem": pip_sql.q_region_join_rects(
+            LINEITEM_SRC, "k", ppip.standard_rects(), "k"
+        ),
+        "s2_knn_docs": knn_sql.q_knn(DOCS_SRC, "doc_id", k=5, n_queries=25),
     }

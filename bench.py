@@ -90,6 +90,20 @@ def run_benchmarks() -> dict:
     tiling.face_histogram(ds, "k").count()
     queries["face_histogram"] = time.perf_counter() - t0
 
+    from s2_geometry_rust_ray.pipelines import knn as pknn
+    from s2_geometry_rust_ray.pipelines import pip as ppip
+
+    t0 = time.perf_counter()
+    ds = expanded_points(SF_DIR, EXPAND)
+    ppip.pip_join(ds, "k", concurrency=(1, max(2, NUM_CPUS // 2))).count()
+    queries["pip_join"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ds = expanded_points(SF_DIR, EXPAND)
+    pknn.knn_brute(ds, "k", k=10, n_queries=50,
+                   concurrency=(1, max(2, NUM_CPUS // 2))).count()
+    queries["knn_brute"] = time.perf_counter() - t0
+
     headline = queries["encode_tile_l8"]
     result = {
         "metric": "s2_encode_tile_headline",

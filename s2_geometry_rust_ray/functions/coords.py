@@ -224,6 +224,20 @@ def face_uv_to_xyz(face, u, v):
     return x, y, z
 
 
+def face_xyz_to_uv_scalar(face, p):
+    """Scalar C++ FaceXYZtoUV (src/math.rs:251-263): (u, v) if p lies in
+    this face's half-space, else None."""
+    face = int(face)
+    if face < 3:
+        if p[face] <= 0:
+            return None
+    else:
+        if p[face - 3] >= 0:
+            return None
+    u, v = valid_face_xyz_to_uv(np.int64(face), p[0], p[1], p[2])
+    return float(u), float(v)
+
+
 def xyz_to_face_si_ti(x, y, z):
     """xyz -> (face, si, ti, level) (src/math.rs:283-301; C++ XYZtoFaceSiTi).
 

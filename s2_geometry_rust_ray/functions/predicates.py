@@ -1,0 +1,227 @@
+"""Robust geometric predicates: vectorized triage + exact fallback.
+
+Canonical semantics from the vendored C++ (the Rust port's stable_sign is a
+stub and its symbolic perturbation a non-canonical hash tie-break, see
+SURVEY.md §0):
+
+- Sign(a,b,c) three-tier strategy (/root/reference/src/predicates.rs:99-135;
+  C++ s2geometry-cpp/src/s2/s2predicates.cc): vectorized float triage with
+  threshold 3.6548*eps, exact fraction determinant for the uncertain band,
+  Simulation-of-Simplicity perturbation for exact zeros
+  (s2predicates.cc:130-225 SymbolicallyPerturbedSign — the exact case
+  sequence is reproduced here).
+- CrossingSign / VertexCrossing / EdgeOrVertexCrossing
+  (s2edge_crossings.cc, s2edge_crosser.cc:41-97).
+- OrderedCCW (s2predicates.cc), Ortho/RefDir/Origin (s2pointutil.h:98-121).
+
+The vectorized layer (sign matrices from matmuls) lives with the loop kernel
+in geometry/loop.py; this module provides the scalar exact machinery routed
+to the <1%-of-rows uncertain band (src/lib.rs:71).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+
+# 3.6548 * DBL_EPSILON — C++ kMaxDetError (src/math.rs:433-476 mirrors it)
+TRIAGE_ERROR = 3.6548 * np.finfo(np.float64).eps
+
+# S2::Origin() (s2pointutil.h:98-115): ~66km from the north pole, chosen to
+# avoid degenerate configurations with common test data.
+ORIGIN = np.array(
+    [-0.0099994664350250197, 0.0025924542609324121, 0.99994664350250195]
+)
+
+
+def triage_sign(det):
+    """Float determinant -> {-1, 0, +1}; 0 means 'uncertain, go exact'."""
+    det = np.asarray(det)
+    return np.where(det > TRIAGE_ERROR, 1, np.where(det < -TRIAGE_ERROR, -1, 0))
+
+
+def _fvec(p):
+    return (Fraction(float(p[0])), Fraction(float(p[1])), Fraction(float(p[2])))
+
+
+def _cross(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _sgn(x):
+    return (x > 0) - (x < 0)
+
+
+def _symbolically_perturbed_sign(a, b, c, b_cross_c):
+    """Exact SoS tie-break; requires det==0 and a < b < c lexicographically
+    (s2predicates.cc:130-225, Edelsbrunner & Muecke Table 4-ii)."""
+    s = _sgn(b_cross_c[2])  # da[2]
+    if s:
+        return s
+    s = _sgn(b_cross_c[1])  # da[1]
+    if s:
+        return s
+    s = _sgn(b_cross_c[0])  # da[0]
+    if s:
+        return s
+    s = _sgn(c[0] * a[1] - c[1] * a[0])  # db[2]
+    if s:
+        return s
+    s = _sgn(c[0])  # db[2] * da[1]
+    if s:
+        return s
+    s = -_sgn(c[1])  # db[2] * da[0]
+    if s:
+        return s
+    s = _sgn(c[2] * a[0] - c[0] * a[2])  # db[1]
+    if s:
+        return s
+    s = _sgn(c[2])  # db[1] * da[0]
+    if s:
+        return s
+    s = _sgn(a[0] * b[1] - a[1] * b[0])  # dc[2]
+    if s:
+        return s
+    s = -_sgn(b[0])  # dc[2] * da[1]
+    if s:
+        return s
+    s = _sgn(b[1])  # dc[2] * da[0]
+    if s:
+        return s
+    s = _sgn(a[0])  # dc[2] * db[1]
+    if s:
+        return s
+    return 1  # dc[2] * db[1] * da[0]
+
+
+def exact_sign(a, b, c, perturb=True):
+    """Exact-arithmetic Sign for distinct points (s2predicates.cc ExactSign):
+    sort lexicographically (tracking permutation parity), exact determinant,
+    SoS on exact zero."""
+    pa, pb, pc = tuple(map(float, a)), tuple(map(float, b)), tuple(map(float, c))
+    perm = 1
+    if pa > pb:
+        pa, pb = pb, pa
+        perm = -perm
+    if pb > pc:
+        pb, pc = pc, pb
+        perm = -perm
+    if pa > pb:
+        pa, pb = pb, pa
+        perm = -perm
+    fa, fb, fc = _fvec(pa), _fvec(pb), _fvec(pc)
+    bxc = _cross(fb, fc)
+    det = _dot(fa, bxc)
+    s = _sgn(det)
+    if s == 0 and perturb:
+        s = _symbolically_perturbed_sign(fa, fb, fc, bxc)
+    return perm * s
+
+
+def sign(a, b, c):
+    """Robust Sign(a,b,c) = sign of det[a b c]; never 0 for distinct points."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    c = np.asarray(c, dtype=np.float64)
+    if np.array_equal(a, b) or np.array_equal(b, c) or np.array_equal(a, c):
+        return 0
+    det = float(np.dot(np.cross(a, b), c))
+    s = int(triage_sign(det))
+    if s != 0:
+        return s
+    return exact_sign(a, b, c)
+
+
+def ortho(a):
+    """S2::Ortho (s2pointutil.cc:48-59): unit vector orthogonal to a, biased
+    off the coordinate planes."""
+    a = np.asarray(a, dtype=np.float64)
+    k = int(np.argmax(np.abs(a))) - 1
+    if k < 0:
+        k = 2
+    temp = np.array([0.012, 0.0053, 0.00457])
+    temp[k] = 1.0
+    v = np.cross(a, temp)
+    return v / np.linalg.norm(v)
+
+
+ref_dir = ortho  # S2::RefDir == S2::Ortho (s2pointutil.h:119-121)
+
+
+def ordered_ccw(a, b, c, o):
+    """True if edges OA, OB, OC are encountered in CCW order
+    (s2predicates.cc OrderedCCW; src/predicates.rs:419-496)."""
+    total = 0
+    if sign(b, o, a) >= 0:
+        total += 1
+    if sign(c, o, b) >= 0:
+        total += 1
+    if sign(a, o, c) > 0:
+        total += 1
+    return total >= 2
+
+
+def vertex_crossing(a, b, c, d):
+    """Shared-vertex crossing parity (s2edge_crossings.cc VertexCrossing;
+    src/predicates.rs:570-660)."""
+    a, b, c, d = (np.asarray(p, dtype=np.float64) for p in (a, b, c, d))
+    if np.array_equal(a, b) or np.array_equal(c, d):
+        return False
+    if np.array_equal(a, c):
+        return np.array_equal(b, d) or ordered_ccw(ref_dir(a), d, b, a)
+    if np.array_equal(b, d):
+        return ordered_ccw(ref_dir(b), c, a, b)
+    if np.array_equal(a, d):
+        return np.array_equal(b, c) or ordered_ccw(ref_dir(a), c, b, a)
+    if np.array_equal(b, c):
+        return ordered_ccw(ref_dir(b), d, a, b)
+    return False
+
+
+def angle_contains_vertex(a, b, c):
+    """True iff wedge ABC contains vertex B (s2edge_crossings.h:239-251)."""
+    return not ordered_ccw(ref_dir(b), c, a, b)
+
+
+def crossing_sign(a, b, c, d):
+    """+1 interior crossing / 0 shared vertex / -1 no crossing
+    (s2edge_crosser.cc:41-97 CrossingSignInternal2, without the tangent
+    pruning fast path — the vectorized layer does its own pruning)."""
+    a, b, c, d = (np.asarray(p, dtype=np.float64) for p in (a, b, c, d))
+    if (
+        np.array_equal(a, c)
+        or np.array_equal(a, d)
+        or np.array_equal(b, c)
+        or np.array_equal(b, d)
+    ):
+        return 0
+    if np.array_equal(a, b) or np.array_equal(c, d):
+        return -1
+    acb = -sign(a, b, c)
+    bda = sign(a, b, d)
+    if bda != acb:
+        return -1
+    cbd = -sign(c, d, b)
+    if cbd != acb:
+        return -1
+    dac = sign(c, d, a)
+    return 1 if dac == acb else -1
+
+
+def edge_or_vertex_crossing(a, b, c, d):
+    """The PIP parity workhorse (src/predicates.rs:687-700)."""
+    cs = crossing_sign(a, b, c, d)
+    if cs < 0:
+        return False
+    if cs > 0:
+        return True
+    return vertex_crossing(a, b, c, d)

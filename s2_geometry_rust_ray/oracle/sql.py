@@ -20,6 +20,16 @@ from ..functions.geo import sql_latlng_cte
 ALL_ONES = "18446744073709551615::UBIGINT"
 
 
+def flit(v) -> str:
+    """Float literal for DuckDB that is guaranteed to parse as DOUBLE.
+
+    A bare numeric literal like 0.012 parses as DECIMAL and drags the
+    surrounding arithmetic into decimal rounding (1-ulp drift vs the
+    engine); string->DOUBLE casts are correctly rounded, i.e. identical to
+    Python's float(repr(v))."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
 def _lut_values() -> str:
     rows = []
     for o in range(4):

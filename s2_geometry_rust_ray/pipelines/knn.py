@@ -1,0 +1,46 @@
+"""kNN pipelines: broadcast queries -> per-partition top-k -> merge.
+
+Merge strategy: each partition emits at most Q*k rows, so the exchange is
+tiny regardless of input size; the final reduce sorts by query_id and ranks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions import geo
+from ..functions.coords import latlng_deg_to_xyz
+from ..stages import knn as knn_stages
+from ..stages.encode import derive_geotags
+
+QUERY_KEY_BASE = 900_000_000  # query keys live far above any row key
+
+
+def make_queries(n_queries: int = 50):
+    """Deterministic query points via the same geotag derivation (30% land in
+    hot clusters — exercising skew), query_id = 0..n-1."""
+    qid = np.arange(n_queries, dtype=np.int64)
+    lat, lng = geo.derive_latlng(QUERY_KEY_BASE + qid)
+    x, y, z = latlng_deg_to_xyz(lat, lng)
+    return {"query_id": qid, "x": x, "y": y, "z": z, "lat": lat, "lng": lng}
+
+
+def knn_brute(ds, key_col: str, k: int = 5, n_queries: int = 50, concurrency=(1, 8)):
+    """Exact kNN: (query_id, neighbor, d2, rank) — brute-force baseline."""
+    queries = make_queries(n_queries)
+    tagged = ds.map_batches(
+        lambda b: derive_geotags(b, key_col), batch_format="pyarrow"
+    )
+    partials = tagged.map_batches(
+        knn_stages.BruteKnn,
+        fn_constructor_kwargs={"queries": queries, "k": k, "key_col": key_col},
+        batch_format="pyarrow",
+        batch_size=262144,
+        concurrency=concurrency,
+    )
+    # each partition emits <= Q*k rows, so the global merge input is tiny
+    # (B_blocks * Q * k); one single-task reduce suffices.  For very large Q
+    # use sort("query_id") + per-block merge + boundary fix instead.
+    return partials.repartition(1).map_batches(
+        lambda b: knn_stages.merge_topk(b, k), batch_format="pyarrow"
+    )

@@ -1,0 +1,83 @@
+"""PIP / region join pipelines over the synthetic geotagged tables."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..geometry import fixtures
+from ..geometry.cap import Cap
+from ..geometry.rect import LatLngRect
+from ..stages import pip as pip_stages
+from ..stages.encode import derive_geotags
+
+
+def standard_polygon_layer():
+    """The polygon layer used by queries/bench: canonical fixture loops +
+    urban hot-spot polygons (geometry/fixtures.py)."""
+    layer = fixtures.polygon_layer()
+    # hemispheres dominate everything (50% hit rate each); keep the layer
+    # representative but selective for join output sizes
+    for k in ["north_hemi", "south_hemi", "east_hemi", "west_hemi"]:
+        layer.pop(k)
+    return layer
+
+
+def standard_caps() -> dict[str, Cap]:
+    from ..functions.geo import CLUSTER_LAT, CLUSTER_LNG
+
+    caps = {}
+    for i, (clat, clng) in enumerate(zip(CLUSTER_LAT, CLUSTER_LNG)):
+        caps[f"cap_urban_{i}"] = Cap.from_latlng_deg(float(clat), float(clng), 2.0)
+    caps["cap_equator"] = Cap.from_latlng_deg(0.0, 0.0, 10.0)
+    caps["cap_north_pole"] = Cap.from_latlng_deg(90.0, 0.0, 12.0)
+    return caps
+
+
+def standard_rects() -> dict[str, LatLngRect]:
+    return {
+        "rect_europe": LatLngRect.from_degrees(35.0, -10.0, 60.0, 30.0),
+        "rect_antimeridian": LatLngRect.from_degrees(-20.0, 170.0, 20.0, -170.0),
+        "rect_south": LatLngRect.from_degrees(-80.0, -180.0, -60.0, 180.0),
+    }
+
+
+def pip_join(ds, key_col: str, layer=None, mode: str = "inner", concurrency=(1, 8)):
+    """Broadcast PIP join: geotag stage + PIPJoin actor pool.
+
+    At scale `concurrency` is sized to the cluster; the layer rides the
+    object store once per actor (PIPJoin.__init__), never per batch.
+    """
+    if layer is None:
+        layer = standard_polygon_layer()
+    tagged = ds.map_batches(
+        lambda b: derive_geotags(b, key_col), batch_format="pyarrow"
+    )
+    return tagged.map_batches(
+        pip_stages.PIPJoin,
+        fn_constructor_kwargs={"layer": layer, "key_col": key_col, "mode": mode},
+        batch_format="pyarrow",
+        batch_size=65536,
+        concurrency=concurrency,
+    )
+
+
+def cap_join(ds, key_col: str, caps=None):
+    if caps is None:
+        caps = standard_caps()
+    tagged = ds.map_batches(
+        lambda b: derive_geotags(b, key_col), batch_format="pyarrow"
+    )
+    return tagged.map_batches(
+        lambda b: pip_stages.cap_join(b, caps, key_col), batch_format="pyarrow"
+    )
+
+
+def rect_join(ds, key_col: str, rects=None):
+    if rects is None:
+        rects = standard_rects()
+    tagged = ds.map_batches(
+        lambda b: derive_geotags(b, key_col), batch_format="pyarrow"
+    )
+    return tagged.map_batches(
+        lambda b: pip_stages.rect_join(b, rects, key_col), batch_format="pyarrow"
+    )

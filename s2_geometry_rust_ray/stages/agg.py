@@ -72,6 +72,20 @@ def sum_by_key(
     )
 
 
+def distinct_keys(ds, key_col: str, final: str = "single"):
+    """DISTINCT key_col — per-block unique, sort-exchange, boundary dedup."""
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        return pa.table({key_col: np.unique(k)})
+
+    partials = ds.map_batches(uniq, batch_format="pyarrow")
+    first = partials.sort(key_col).map_batches(uniq, batch_format="pyarrow")
+    if final == "single":
+        return first.repartition(1).map_batches(uniq, batch_format="pyarrow")
+    return first.sort(key_col).map_batches(uniq, batch_format="pyarrow")
+
+
 def count_by_key(ds, key_col: str, final: str = "single", out_col: str = "n"):
     """COUNT(*) GROUP BY key via sum_by_key over a ones column."""
 

@@ -30,7 +30,17 @@ def _compare(df_ray, df_sql, sort_cols):
 
 @pytest.mark.parametrize(
     "name",
-    ["s2_cell_encode_docs", "s2_tile_counts_l8", "s2_tile_counts_l12", "s2_face_histogram"],
+    [
+        "s2_cell_encode_docs",
+        "s2_tile_counts_l8",
+        "s2_tile_counts_l12",
+        "s2_face_histogram",
+        "s2_pip_join_docs",
+        "s2_pip_join_lineitem",
+        "s2_cap_join_docs",
+        "s2_rect_join_lineitem",
+        "s2_knn_docs",
+    ],
 )
 def test_query_matches_oracle(ray_session, con, name):
     import __ray_entry__ as e
@@ -39,8 +49,7 @@ def test_query_matches_oracle(ray_session, con, name):
     if hasattr(res, "to_pandas"):
         res = res.to_pandas()
     ora = con.sql(e.oracle_sql()[name]).df()
-    sort_cols = [res.columns[0]]
-    _compare(res, ora, sort_cols)
+    _compare(res, ora, list(res.columns))
 
 
 def test_entry_smoke(ray_session):
