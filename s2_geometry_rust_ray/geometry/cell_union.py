@@ -34,10 +34,11 @@ def normalize(ids: np.ndarray) -> np.ndarray:
         if ids.size < 4:
             return ids
         a, b, c, d = ids[:-3], ids[1:-2], ids[2:-1], ids[3:]
-        # siblings iff (a XOR b XOR c) == d and same parent alignment
-        # (src/cell_union.rs:582-597 are_siblings: a^b^c==d plus mask test)
+        # siblings iff (a XOR b XOR c) == d and identical bits outside the
+        # last-level digit: mask = ~(6 * lsb) keeps the level bit and all
+        # bits above the digit (C++ AreSiblings; src/cell_union.rs:582-597)
         lsb_ = cellid.lsb(a)
-        mask = ~(lsb_ + (lsb_ << U(1)))
+        mask = ~((lsb_ << U(1)) + (lsb_ << U(2)))
         cand = (
             ((a ^ b ^ c) == d)
             & ((a & mask) == (b & mask))
