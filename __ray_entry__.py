@@ -102,6 +102,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read(sf_dir, "documents", columns=["doc_id"])
         return knn.knn_brute(ds, "doc_id", k=5, n_queries=25)
 
+    from s2_geometry_rust_ray.pipelines import textops
+
+    def q_token_stats(sf_dir: str):
+        return textops.token_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+    def q_exact_dedup(sf_dir: str):
+        return textops.exact_dedup(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+    def q_window(sf_dir: str):
+        return textops.window_counts(
+            _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+        )
+
+    def q_quality(sf_dir: str):
+        return textops.quality(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+    def q_near_dup(sf_dir: str):
+        return textops.near_dup_pairs(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+    def q_fingerprints(sf_dir: str):
+        return textops.fingerprints(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+    def q_ann(sf_dir: str):
+        import numpy as np
+
+        from s2_geometry_rust_ray.stages import simsearch
+
+        ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        rng = np.random.default_rng(42)
+        queries = rng.normal(size=(10, 64)).astype("float32")
+        return simsearch.ann_topk(ds, queries, np.arange(10), k=10)
+
     return {
         "s2_cell_encode_docs": q_encode_docs,
         "s2_tile_counts_l8": q_tile_l8,
@@ -112,6 +144,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s2_cap_join_docs": q_caps,
         "s2_rect_join_lineitem": q_rects,
         "s2_knn_docs": q_knn,
+        "doc_token_stats": q_token_stats,
+        "doc_exact_dedup": q_exact_dedup,
+        "events_window_1h": q_window,
+        "doc_quality": q_quality,
+        "doc_near_dup_pairs": q_near_dup,
+        "doc_fingerprints": q_fingerprints,
+        "ann_cosine_topk": q_ann,
     }
 
 
@@ -137,4 +176,24 @@ def oracle_sql() -> dict[str, str]:
             LINEITEM_SRC, "k", ppip.standard_rects(), "k"
         ),
         "s2_knn_docs": knn_sql.q_knn(DOCS_SRC, "doc_id", k=5, n_queries=25),
+        "doc_token_stats": (
+            "SELECT doc_id, length(text)::BIGINT AS n_chars, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens "
+            "FROM documents"
+        ),
+        "doc_exact_dedup": (
+            "SELECT substr(md5(text),1,16) AS content_hash, "
+            "min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups "
+            "FROM documents GROUP BY 1"
+        ),
+        "events_window_1h": (
+            "SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_s, "
+            "count(*)::BIGINT AS n, "
+            "CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        # doc_quality / doc_near_dup_pairs / doc_fingerprints / ann_cosine_topk:
+        # deliberately no SQL oracle (heuristic / hash-pipeline / float-reduction
+        # ops are not SQL-reproducible bit-exactly) -> driver rows-only check;
+        # the pytest suite holds their brute-force oracles.
     }

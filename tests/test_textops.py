@@ -1,0 +1,139 @@
+"""Text / dedup / window / similarity operators vs brute-force oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from s2_geometry_rust_ray.functions import text as T
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+def test_token_count_matches_re(docs):
+    import re
+
+    n = T.token_count(docs["text"])
+    for i in [0, 7, 99]:
+        assert n[i] == len(re.findall(r"[A-Za-z0-9]+", docs["text"][i]))
+
+
+def test_minhash_estimates_jaccard(docs):
+    """MinHash signature agreement rate approximates true Jaccard."""
+    a, b = docs["text"][0], docs["text"][0] + " extra tail words here"
+    sa = T.minhash_signature(a, 64)
+    sb = T.minhash_signature(b, 64)
+    est = (sa == sb).mean()
+    true = T.jaccard(T.shingles(a), T.shingles(b))
+    assert abs(est - true) < 0.25
+    # identical docs -> identical signatures
+    assert np.array_equal(T.minhash_signature(a, 32), T.minhash_signature(a, 32))
+
+
+def test_near_dup_pairs_vs_bruteforce(ray_session, docs):
+    import ray.data
+
+    from s2_geometry_rust_ray.pipelines import textops
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got = textops.near_dup_pairs(ds, threshold=0.5).to_pandas()
+    got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+    # brute force all-pairs jaccard
+    sh = [T.shingles(t) for t in docs["text"]]
+    ids = docs["doc_id"].to_numpy()
+    brute = set()
+    high = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            ja = T.jaccard(sh[i], sh[j])
+            if ja >= 0.5:
+                brute.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+            if ja >= 0.9:
+                high.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    # no false positives (every reported pair is a true near-dup)
+    assert got_pairs <= brute
+    # high-similarity pairs are essentially always caught by some band
+    assert high <= got_pairs
+
+
+def test_exact_dedup_counts(ray_session, docs):
+    import ray.data
+
+    from s2_geometry_rust_ray.pipelines import textops
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got = textops.exact_dedup(ds).to_pandas()
+    truth = docs.groupby("text").agg(keep_id=("doc_id", "min"), n=("doc_id", "size"))
+    assert got["n_dups"].sum() == len(docs)
+    assert len(got) == docs["text"].nunique()
+    assert sorted(got["keep_id"]) == sorted(truth["keep_id"])
+
+
+def test_ann_topk_matches_brute(ray_session):
+    import ray.data
+
+    from s2_geometry_rust_ray.stages import simsearch
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    rng = np.random.default_rng(42)
+    q = rng.normal(size=(10, 64)).astype("float32")
+    got = simsearch.ann_topk(ds, q, np.arange(10), k=10).to_pandas()
+    # brute force: single batch through the same kernel
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    stage = simsearch.BruteCosineTopK(q, np.arange(10), 10)
+    brute = simsearch.merge_topk(stage(tbl), 10).to_pandas()
+    a = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = brute.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert np.array_equal(a["vec_id"].values, b["vec_id"].values)
+    assert np.allclose(a["cosine"].values, b["cosine"].values, atol=1e-6)
+
+
+def test_ann_ivf_recall(ray_session):
+    import ray.data
+
+    from s2_geometry_rust_ray.stages import simsearch
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = simsearch.batch_embeddings(tbl)
+    cent = simsearch.train_centroids(emb, 16)
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=(5, 64)).astype("float32")
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ivf = simsearch.ann_topk_ivf(ds, q, np.arange(5), cent, k=10, nprobe=6).to_pandas()
+    brute = simsearch.merge_topk(
+        simsearch.BruteCosineTopK(q, np.arange(5), 10)(tbl), 10
+    ).to_pandas()
+    # recall@10 of IVF with nprobe=6/16 should be decent
+    rec = []
+    for qi in range(5):
+        g = set(ivf[ivf.query_id == qi]["vec_id"])
+        b = set(brute[brute.query_id == qi]["vec_id"])
+        rec.append(len(g & b) / len(b))
+    assert np.mean(rec) >= 0.6, rec
+
+
+def test_window_counts_total(ray_session):
+    import ray.data
+
+    from s2_geometry_rust_ray.pipelines import textops
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["ts", "event_type", "value"])
+    got = textops.window_counts(ds).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    assert got["n"].sum() == len(ev)
+    # windows are hour-aligned
+    assert (got["window_s"] % 3600 == 0).all()
+
+
+def test_lang_and_quality_deterministic(docs):
+    q1 = T.quality_score(docs["text"][:100])
+    q2 = T.quality_score(docs["text"][:100])
+    assert np.array_equal(q1, q2)
+    assert ((q1 >= 0) & (q1 <= 1)).all()
+    l1 = T.lang_id(docs["text"][:100])
+    assert set(np.unique(l1)) <= {"en", "de", "fr", "es", "und"}
