@@ -1,0 +1,123 @@
+"""Images table (input_hint schema): codec roundtrip, invariants, flagship
+pass-through + resume byte-identity."""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from s2_geometry_rust_ray.sources import images as I
+
+TMP = "/tmp/graft_images_test"
+
+
+@pytest.fixture(scope="module")
+def images_dir():
+    shutil.rmtree(TMP, ignore_errors=True)
+    I.write_images_dataset(f"{TMP}/src", 2000, rows_per_file=500)
+    yield f"{TMP}/src"
+
+
+def test_png_roundtrip():
+    px = I._pixels_for_row(123)
+    blob = I.encode_png(px)
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    back = I.decode_png(blob)
+    assert np.array_equal(back, px)
+    assert I.psnr(back, px) == float("inf")
+
+
+def test_schema_matches_input_hint(images_dir):
+    s = pq.read_schema(glob.glob(f"{images_dir}/*.parquet")[0])
+    expected = {
+        "image_id": "string", "bytes": "binary", "w": "int32", "h": "int32",
+        "fmt": "string", "caption": "string", "phash": "int64",
+        "lat": "double", "lng": "double",
+    }
+    got = {f.name: str(f.type) for f in s}
+    assert got == expected
+
+
+def test_generation_deterministic(images_dir):
+    t1 = I.generate_images_table(50, start=100)
+    t2 = I.generate_images_table(50, start=100)
+    assert t1.equals(t2)
+
+
+def test_invariants_hold_on_source(images_dir):
+    t = pq.read_table(glob.glob(f"{images_dir}/*.parquet")[0])
+    res = I.check_invariants(t)
+    assert all(res["psnr_ok"].to_pylist())
+    assert all(res["caption_ok"].to_pylist())
+
+
+def test_known_duplicates_exist(images_dir):
+    """~1% of rows duplicate pixels of row i-7 (dedup fixture)."""
+    t = I.generate_images_table(1000)
+    ph = t["phash"].to_numpy()
+    dups = sum(ph[i] == ph[i - 7] for i in range(7, 1000))
+    assert dups > 0
+
+
+def test_flagship_passthrough_and_resume(ray_session, images_dir):
+    from s2_geometry_rust_ray.pipelines import flagship
+
+    out1 = f"{TMP}/out_full"
+    out2 = f"{TMP}/out_resumed"
+    shutil.rmtree(out1, ignore_errors=True)
+    shutil.rmtree(out2, ignore_errors=True)
+    # single uninterrupted run
+    flagship.indexed_passthrough(images_dir, out1)
+    # interrupted run (2 shards) then resume
+    flagship.indexed_passthrough(images_dir, out2, max_shards=2)
+    assert len(glob.glob(f"{out2}/part-*/")) == 2  # partial
+    flagship.indexed_passthrough(images_dir, out2)
+
+    def read_all(d):
+        files = sorted(glob.glob(f"{d}/part-*/*.parquet"))
+        import pyarrow as pa
+
+        return (
+            pa.concat_tables([pq.read_table(f) for f in files])
+            .sort_by("image_id")
+        )
+
+    a, b = read_all(out1), read_all(out2)
+    assert a.equals(b), "resumed output must be byte-identical"
+    # invariants preserved through the pipeline + cell columns appended
+    assert "cell_id" in a.schema.names and "cell_l5" in a.schema.names
+    chk = I.check_invariants(a)
+    assert all(chk["psnr_ok"].to_pylist())
+    assert all(chk["caption_ok"].to_pylist())
+    assert a.num_rows == 2000
+
+
+def test_image_tile_counts_and_pip(ray_session, images_dir):
+    from s2_geometry_rust_ray.pipelines import flagship
+
+    tiles = flagship.image_tile_counts(images_dir, level=6).to_pandas()
+    assert tiles["n"].sum() == 2000
+    pip = flagship.image_pip_join(images_dir).to_pandas()
+    assert len(pip) > 0 and set(pip.columns) == {"image_id", "polygon_id"}
+
+
+def test_image_features_stage(ray_session, images_dir):
+    import ray.data
+
+    from s2_geometry_rust_ray.stages import multimodal
+
+    ds = ray.data.read_parquet(images_dir, columns=["image_id", "fmt", "bytes"])
+    feats = multimodal.image_features(ds).to_pandas()
+    assert len(feats) == 2000
+    assert feats["decode_ok"].all()
+    assert ((feats["mean_r"] > 60) & (feats["mean_r"] < 200)).all()
+
+
+def test_jpeg_stub_raises():
+    from s2_geometry_rust_ray.stages.multimodal import _decode
+
+    with pytest.raises(NotImplementedError):
+        _decode("jpeg", b"\xff\xd8\xff")
