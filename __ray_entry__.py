@@ -151,6 +151,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_near_dup_pairs": q_near_dup,
         "doc_fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann,
+        "h3_tile_counts_r5": lambda sf_dir: tiling.h3_tile_counts(
+            _lineitem_keys(sf_dir), "k", res=5
+        ),
     }
 
 

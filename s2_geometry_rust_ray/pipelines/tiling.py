@@ -81,6 +81,35 @@ def face_histogram(ds: "ray.data.Dataset", key_col: str) -> "ray.data.Dataset":
     return agg.sum_by_key(partials, "face", ["n"], final="single")
 
 
+def h3_tile_counts(
+    ds: "ray.data.Dataset", key_col: str, res: int, final: str = "single"
+) -> "ray.data.Dataset":
+    """H3-parity tile assignment: key -> geotag -> h3 cell at `res` ->
+    counts.  Same sort-exchange shape as the S2 path, keyed by h3_cell
+    (uint64 < 2^55, so the int64 view preserves order directly)."""
+    from ..functions import geo, h3
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = batch[key_col].to_numpy(zero_copy_only=False)
+        lat, lng = geo.derive_latlng(key)
+        cells = h3.latlng_to_h3(lat, lng, res).view(np.int64)
+        uniq, counts = np.unique(cells, return_counts=True)
+        return pa.table({"h3_cell": uniq, "n_partial": counts.astype(np.int64)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+    summed = agg.sum_by_key(partials, "h3_cell", ["n_partial"], final=final)
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        toks = cellid.to_hex(
+            batch["h3_cell"].to_numpy(zero_copy_only=False).view(np.uint64)
+        )
+        return pa.table(
+            {"h3_token": toks, "n": batch["n_partial"].to_numpy(zero_copy_only=False)}
+        )
+
+    return summed.map_batches(tokenize, batch_format="pyarrow")
+
+
 def cell_encode_table(
     ds: "ray.data.Dataset", key_col: str, key_name: str
 ) -> "ray.data.Dataset":
