@@ -102,6 +102,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read(sf_dir, "documents", columns=["doc_id"])
         return knn.knn_brute(ds, "doc_id", k=5, n_queries=25)
 
+    def q_knn_cell(sf_dir: str):
+        from s2_geometry_rust_ray.pipelines import knn
+
+        ds = _read(sf_dir, "documents", columns=["doc_id"])
+        return knn.knn_cell(ds, "doc_id", k=5, n_queries=25)
+
+    def q_pip_shuffle(sf_dir: str):
+        from s2_geometry_rust_ray.pipelines import pip_shuffle
+
+        ds = _read(sf_dir, "documents", columns=["doc_id"])
+        return pip_shuffle.shuffle_pip_join(
+            ds, "doc_id", ppip.standard_polygon_layer(), level=7
+        )
+
     from s2_geometry_rust_ray.pipelines import textops
 
     def q_token_stats(sf_dir: str):
@@ -144,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s2_cap_join_docs": q_caps,
         "s2_rect_join_lineitem": q_rects,
         "s2_knn_docs": q_knn,
+        "s2_knn_cell_docs": q_knn_cell,
+        "s2_pip_join_shuffle_docs": q_pip_shuffle,
         "doc_token_stats": q_token_stats,
         "doc_exact_dedup": q_exact_dedup,
         "events_window_1h": q_window,
@@ -179,6 +195,10 @@ def oracle_sql() -> dict[str, str]:
             LINEITEM_SRC, "k", ppip.standard_rects(), "k"
         ),
         "s2_knn_docs": knn_sql.q_knn(DOCS_SRC, "doc_id", k=5, n_queries=25),
+        # identical semantics, different physical plan (cell-range pruning /
+        # covering-explode shuffle) -> same oracles as their baselines
+        "s2_knn_cell_docs": knn_sql.q_knn(DOCS_SRC, "doc_id", k=5, n_queries=25),
+        "s2_pip_join_shuffle_docs": pip_sql.q_pip_join(DOCS_SRC, "doc_id", layer, "doc_id"),
         "doc_token_stats": (
             "SELECT doc_id, length(text)::BIGINT AS n_chars, "
             "len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens "

@@ -104,6 +104,19 @@ def run_benchmarks() -> dict:
                    concurrency=(1, max(2, NUM_CPUS // 2))).count()
     queries["knn_brute"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    ds = expanded_points(SF_DIR, EXPAND)
+    pknn.knn_cell(ds, "k", k=10, n_queries=50, n_estimate=n_points,
+                  concurrency=(1, max(2, NUM_CPUS // 2))).count()
+    queries["knn_cell"] = time.perf_counter() - t0
+
+    from s2_geometry_rust_ray.pipelines import tiling as ptiling
+
+    t0 = time.perf_counter()
+    ds = expanded_points(SF_DIR, EXPAND)
+    ptiling.h3_tile_counts(ds, "k", res=6).count()
+    queries["h3_tile_r6"] = time.perf_counter() - t0
+
     headline = queries["encode_tile_l8"]
     result = {
         "metric": "s2_encode_tile_headline",

@@ -44,3 +44,28 @@ def knn_brute(ds, key_col: str, k: int = 5, n_queries: int = 50, concurrency=(1,
     return partials.repartition(1).map_batches(
         lambda b: knn_stages.merge_topk(b, k), batch_format="pyarrow"
     )
+
+
+def knn_cell(ds, key_col: str, k: int = 5, n_queries: int = 50,
+             n_estimate: int | None = None, concurrency=(1, 8)):
+    """Exact kNN via cell-range pruning — the 10^12-row path.  Identical
+    output to knn_brute; per-batch work is O(candidates) instead of O(N)."""
+    queries = make_queries(n_queries)
+    if n_estimate is None:
+        n_estimate = ds.count()
+    rings = knn_stages.build_query_rings(queries, k, n_estimate)
+    tagged = ds.map_batches(
+        lambda b: derive_geotags(b, key_col), batch_format="pyarrow"
+    )
+    partials = tagged.map_batches(
+        knn_stages.CellPrunedKnn,
+        fn_constructor_kwargs={
+            "queries": queries, "k": k, "rings": rings, "key_col": key_col,
+        },
+        batch_format="pyarrow",
+        batch_size=262144,
+        concurrency=concurrency,
+    )
+    return partials.repartition(1).map_batches(
+        lambda b: knn_stages.merge_topk(b, k), batch_format="pyarrow"
+    )
