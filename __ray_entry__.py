@@ -78,6 +78,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_face_hist(sf_dir: str):
         return tiling.face_histogram(_lineitem_keys(sf_dir), "k")
 
+    def q_tile_salted(sf_dir: str):
+        return tiling.tile_counts_salted(_lineitem_keys(sf_dir), "k", level=8)
+
+    def q_snap_dedup(sf_dir: str):
+        ds = _read(sf_dir, "documents", columns=["doc_id"])
+        return tiling.snap_dedup(ds, "doc_id", level=10)
+
     def q_pip(sf_dir: str):
         ds = _read(sf_dir, "documents", columns=["doc_id"])
         return ppip.pip_join(ds, "doc_id")
@@ -153,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s2_tile_counts_l8": q_tile_l8,
         "s2_tile_counts_l12": q_tile_l12,
         "s2_face_histogram": q_face_hist,
+        "s2_tile_counts_l8_salted": q_tile_salted,
+        "s2_snap_dedup_l10": q_snap_dedup,
         "s2_pip_join_docs": q_pip,
         "s2_pip_join_lineitem": q_pip_lineitem,
         "s2_cap_join_docs": q_caps,
@@ -184,6 +193,8 @@ def oracle_sql() -> dict[str, str]:
         "s2_tile_counts_l8": osql.q_tile_counts(LINEITEM_SRC, "k", 8),
         "s2_tile_counts_l12": osql.q_tile_counts(LINEITEM_SRC, "k", 12),
         "s2_face_histogram": osql.q_face_histogram(LINEITEM_SRC, "k"),
+        "s2_tile_counts_l8_salted": osql.q_tile_counts(LINEITEM_SRC, "k", 8),
+        "s2_snap_dedup_l10": osql.q_snap_dedup(DOCS_SRC, "doc_id", 10),
         "s2_pip_join_docs": pip_sql.q_pip_join(DOCS_SRC, "doc_id", layer, "doc_id"),
         "s2_pip_join_lineitem": pip_sql.q_pip_join(
             f"SELECT DISTINCT {LINEITEM_KEY_SQL} AS k FROM lineitem", "k", layer, "k"

@@ -103,6 +103,25 @@ def vectorize(cells: np.ndarray) -> list[np.ndarray]:
     return loops
 
 
+def boolean_op(region_a, region_b, op: str, level: int) -> np.ndarray:
+    """Approximate boolean ops via center-containment rasters at level L
+    (the reference's S2BooleanOperation is entirely absent — placeholder
+    tests only, tests/test_s2boolean_operation_port.rs:5-8; this composes
+    the semantics from cell algebra per SURVEY §2.10).  Error is bounded by
+    one cell width at level L.  Returns sorted level-L cells."""
+    ra = rasterize(region_a, level, mode="centers")
+    rb = rasterize(region_b, level, mode="centers")
+    if op == "union":
+        return np.union1d(ra, rb)
+    if op == "intersection":
+        return np.intersect1d(ra, rb)
+    if op == "difference":
+        return np.setdiff1d(ra, rb)
+    if op == "symmetric_difference":
+        return np.setxor1d(ra, rb)
+    raise ValueError(op)
+
+
 def vectorize_to_polygon(cells: np.ndarray):
     """Cell set -> even-odd Polygon of its boundary loops.
 

@@ -141,6 +141,19 @@ def q_tile_counts(src_sql: str, key_expr: str, level: int) -> str:
     )
 
 
+def q_snap_dedup(src_sql: str, key_expr: str, level: int) -> str:
+    """Snap-to-cell dedup: (snap_token, keep_key=min, n) per level-K cell."""
+    return (
+        cte_encode(src_sql, key_expr)
+        + f"""
+  SELECT {sql_cell_hex(sql_parent('cell_id', level))} AS snap_token,
+         min(key) AS keep_key,
+         count(*)::BIGINT AS n
+  FROM __cell
+  GROUP BY 1"""
+    )
+
+
 def q_face_histogram(src_sql: str, key_expr: str) -> str:
     """Rows per cube face (no Hilbert needed — exercises xyz/face kernel)."""
     return (

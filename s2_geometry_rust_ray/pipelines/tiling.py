@@ -81,6 +81,95 @@ def face_histogram(ds: "ray.data.Dataset", key_col: str) -> "ray.data.Dataset":
     return agg.sum_by_key(partials, "face", ["n"], final="single")
 
 
+def tile_counts_salted(
+    ds: "ray.data.Dataset", key_col: str, level: int, salt: int = 8,
+    hot_top_n: int = 32,
+) -> "ray.data.Dataset":
+    """Tile counts with explicit hot-key salting (north_rule skew handling):
+    a cheap histogram pass finds the hottest tiles, the partial-count key
+    becomes tile*salt + hash(row)%salt for those, the aggregate runs on the
+    salted keys, and a second (tiny) reduce un-salts.  Identical output to
+    tile_counts; exists so the skew machinery is exercised end-to-end (the
+    map-side combine already bounds per-block skew on this pipeline)."""
+    from ..stages import exchange
+
+    encoded = ds.map_batches(
+        geotag_and_encode(key_col), batch_format="pyarrow", batch_size=131072
+    ).materialize()
+
+    def tiles_of(batch: pa.Table) -> pa.Table:
+        cid = batch["cell_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"tile": cellid.to_sort_key(cellid.parent(cid, level))})
+
+    tiles_ds = encoded.map_batches(tiles_of, batch_format="pyarrow")
+    hot = set(exchange.hot_key_histogram(tiles_ds, "tile", top_n=hot_top_n))
+
+    def salted_partials(batch: pa.Table) -> pa.Table:
+        cid = batch["cell_id"].to_numpy(zero_copy_only=False)
+        tiles = cellid.to_sort_key(cellid.parent(cid, level))
+        skey = exchange.salted_cell_key(tiles, cid, hot, salt)
+        uniq, counts = np.unique(skey, return_counts=True)
+        return pa.table({"skey": uniq, "n_partial": counts.astype(np.int64)})
+
+    partials = encoded.map_batches(salted_partials, batch_format="pyarrow")
+    salted = agg.sum_by_key(partials, "skey", ["n_partial"], final="single")
+
+    def unsalt(batch: pa.Table) -> pa.Table:
+        skey = batch["skey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"tile": skey & ~np.int64(salt - 1),
+             "n_partial": batch["n_partial"].to_numpy(zero_copy_only=False)}
+        )
+
+    unsalted = agg.sum_by_key(
+        salted.map_batches(unsalt, batch_format="pyarrow"),
+        "tile", ["n_partial"], final="single",
+    )
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        toks = cellid.to_hex(
+            cellid.from_sort_key(batch["tile"].to_numpy(zero_copy_only=False))
+        )
+        return pa.table(
+            {"tile_token": toks, "n": batch["n_partial"].to_numpy(zero_copy_only=False)}
+        )
+
+    return unsalted.map_batches(tokenize, batch_format="pyarrow")
+
+
+def snap_dedup(
+    ds: "ray.data.Dataset", key_col: str, level: int = 16
+) -> "ray.data.Dataset":
+    """Near-duplicate geotag dedup by snap-to-cell (S2CellIdSnapFunction
+    semantics, src/builder/snap_functions.rs:217-290): rows sharing the
+    level-K cell collapse to (snap_token, keep_key=min, n)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = geotag_and_encode(key_col)(batch)
+        cid = batch["cell_id"].to_numpy(zero_copy_only=False)
+        snap = cellid.to_sort_key(cellid.parent(cid, level))
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"snap": snap, "keep_key": keys,
+             "n": np.ones(len(keys), dtype=np.int64)}
+        )
+
+    reduced = agg.reduce_by_key(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "snap", {"keep_key": "min", "n": "sum"}, final="single",
+    )
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        toks = cellid.to_hex(
+            cellid.from_sort_key(batch["snap"].to_numpy(zero_copy_only=False))
+        )
+        return pa.table(
+            {"snap_token": toks, "keep_key": batch["keep_key"], "n": batch["n"]}
+        )
+
+    return reduced.map_batches(tokenize, batch_format="pyarrow")
+
+
 def h3_tile_counts(
     ds: "ray.data.Dataset", key_col: str, res: int, final: str = "single"
 ) -> "ray.data.Dataset":

@@ -116,9 +116,23 @@ def hot_key_histogram(ds, key_col: str, top_n: int = 64):
 
 
 def salted_key(keys: np.ndarray, row_hash: np.ndarray, hot_keys: set, salt: int):
-    """Map-side salting: hot keys spread over `salt` sub-keys (key*salt + s),
-    cold keys -> key*salt.  Un-salt with key // salt after the aggregate."""
+    """Map-side salting for SMALL integer keys: hot keys spread over `salt`
+    sub-keys (key*salt + s).  Un-salt with key // salt.  Caller must
+    guarantee |key| * salt fits int64 — for 64-bit cell ids use
+    salted_cell_key (low-bit salting) instead."""
     keys = np.asarray(keys, dtype=np.int64)
     is_hot = np.isin(keys, np.fromiter(hot_keys, dtype=np.int64, count=len(hot_keys)))
     s = (np.asarray(row_hash, dtype=np.uint64) % np.uint64(salt)).astype(np.int64)
     return keys * salt + np.where(is_hot, s, 0)
+
+
+def salted_cell_key(tile_sort_keys: np.ndarray, row_hash: np.ndarray,
+                    hot_keys: set, salt: int):
+    """Salting for S2 cell sort keys: a level-L cell id has 2*(30-L) zero
+    bits below its lsb, so hot tiles take the salt in the LOW bits (no
+    overflow, order preserved within a tile).  `salt` must be a power of
+    two well below the level's lsb.  Un-salt: key & ~(salt-1)."""
+    keys = np.asarray(tile_sort_keys, dtype=np.int64)
+    is_hot = np.isin(keys, np.fromiter(hot_keys, dtype=np.int64, count=len(hot_keys)))
+    s = (np.asarray(row_hash, dtype=np.uint64) % np.uint64(salt)).astype(np.int64)
+    return keys | np.where(is_hot, s, 0)

@@ -1,0 +1,142 @@
+"""Query system (closest-edge / contains-point models / crossing-edge /
+convex hull), polylines, snap functions, boolean ops via rasters —
+semantics per the reference's placeholder specs (test_s2query_system_port.rs)
+and the vendored C++ headers."""
+
+import numpy as np
+import pytest
+
+from s2_geometry_rust_ray.functions import cellid, snap
+from s2_geometry_rust_ray.geometry import fixtures, queries, raster
+from s2_geometry_rust_ray.geometry.cap import Cap, radians_from_chord2
+from s2_geometry_rust_ray.geometry.coverer import CapRegion, PolygonRegion
+from s2_geometry_rust_ray.geometry.loop import latlng_deg_to_unit_xyz
+from s2_geometry_rust_ray.geometry.polyline import Polyline
+
+
+def pts(lat, lng):
+    return latlng_deg_to_unit_xyz(np.asarray(lat, float), np.asarray(lng, float))
+
+
+def test_polyline_length_interpolate():
+    # equator quarter arc: 90 degrees
+    pl = Polyline.from_latlng_deg([0, 0], [0, 90])
+    assert abs(pl.get_length() - np.pi / 2) < 1e-12
+    mid = pl.interpolate(0.5)
+    expect = pts([0], [45])[0]
+    assert np.allclose(mid, expect, atol=1e-12)
+    assert np.allclose(pl.interpolate(0.0), pl.v[0])
+    assert np.allclose(pl.interpolate(1.0), pl.v[-1])
+
+
+def test_polyline_project():
+    pl = Polyline.from_latlng_deg([0, 0, 10], [0, 10, 20])
+    q = pts([1.0, -2.0], [5.0, 0.1])
+    closest, eidx, d2 = pl.project(q)
+    # first query is near the first edge; distance roughly 1 degree of arc
+    assert eidx[0] == 0
+    ang = radians_from_chord2(float(d2[0]))
+    assert abs(ang - np.deg2rad(1.0)) < 0.01
+    # projected points lie on the polyline's great-circle edges
+    n = np.cross(pl.v[eidx[0]], pl.v[eidx[0] + 1])
+    assert abs(float(closest[0] @ n) / np.linalg.norm(n)) < 1e-12
+
+
+def test_polyline_intersects():
+    a = Polyline.from_latlng_deg([-5, 5], [0, 0])
+    b = Polyline.from_latlng_deg([0, 0], [-5, 5])
+    c = Polyline.from_latlng_deg([10, 20], [10, 10])
+    assert a.intersects(b)
+    assert not a.intersects(c)
+
+
+def test_closest_edge_and_distance():
+    lp = fixtures.make_loop("arctic_80")
+    q = pts([85.0, 0.0], [0.0, 0.0])
+    res = queries.closest_edge_query(lp, q, max_results=2)
+    assert len(res[0]) == 2
+    assert res[0][0][1] <= res[0][1][1]  # sorted by distance
+    d2 = queries.distance_to_boundary(lp, q)
+    # equator point is much farther from the arctic boundary than the 85N point
+    assert d2[1] > d2[0]
+    # max_distance filter
+    res2 = queries.closest_edge_query(lp, q, max_results=2, max_distance=1e-6)
+    assert res2[0] == [] or res2[0][0][1] <= 4e-12
+
+
+def test_crossing_edge_query():
+    lp = fixtures.make_loop("loop_a")
+    # a meridian segment through the loop crosses exactly 2 edges
+    # (lng 179.5, off the loop's vertices which sit on the 180 meridian)
+    c, d = pts([3, -3], [179.5, 179.5])
+    hits = queries.crossing_edge_query(lp, c, d)
+    assert len(hits) == 2
+    far_c, far_d = pts([3, -3], [0, 0])
+    assert queries.crossing_edge_query(lp, far_c, far_d) == []
+
+
+def test_contains_point_vertex_models():
+    lp = fixtures.make_loop("arctic_80")
+    vertex = lp.v[0:1]
+    interior = pts([89.0], [0.0])
+    semi = queries.contains_point_query(lp, np.vstack([vertex, interior]), "semi_open")
+    closed = queries.contains_point_query(lp, np.vstack([vertex, interior]), "closed")
+    open_ = queries.contains_point_query(lp, np.vstack([vertex, interior]), "open")
+    assert closed[0] and not open_[0]  # vertex: in closed, not in open
+    assert semi[1] and closed[1] and open_[1]  # interior in all models
+
+
+def test_convex_hull():
+    rng = np.random.default_rng(6)
+    cloud = pts(rng.uniform(10, 30, 60), rng.uniform(-20, 10, 60))
+    hull = queries.convex_hull_query(cloud)
+    assert len(hull) >= 3
+    # every input point is inside or on the hull polygon
+    from s2_geometry_rust_ray.geometry.loop import Loop
+
+    hull_loop = Loop(hull)
+    inside = hull_loop.contains_points(cloud)
+    boundary = queries.distance_to_boundary(hull_loop, cloud) < 1e-20
+    assert np.all(inside | boundary)
+
+
+def test_snap_functions():
+    lat = np.array([47.123456789, -33.000000049])
+    lng = np.array([-122.987654321, 151.000000049])
+    slat, slng = snap.snap_e7(lat, lng)
+    assert abs(slat[0] - 47.1234568) < 1e-9
+    ilat, ilng = snap.snap_e7_int(lat, lng)
+    assert ilat[0] == 471234568 and ilng[0] == -1229876543
+    clat, clng, cell = snap.snap_to_cell_center(lat, lng, 12)
+    assert np.all(cellid.level(cell) == 12)
+    # snapped point re-encodes into the same cell
+    again = cellid.parent(cellid.from_latlng_deg(clat, clng), 12)
+    assert np.array_equal(again, cell)
+    # dedup keys: two points < cell size apart share a key at coarse level
+    k = snap.snap_dedup_keys(np.array([10.0, 10.00001]), np.array([20.0, 20.00001]), 12)
+    assert k[0] == k[1]
+
+
+def test_boolean_ops_via_raster():
+    a = CapRegion(Cap.from_latlng_deg(0.0, 0.0, 3.0))
+    b = CapRegion(Cap.from_latlng_deg(0.0, 2.0, 3.0))
+    lvl = 8
+    u = raster.boolean_op(a, b, "union", lvl)
+    i = raster.boolean_op(a, b, "intersection", lvl)
+    d = raster.boolean_op(a, b, "difference", lvl)
+    x = raster.boolean_op(a, b, "symmetric_difference", lvl)
+    ra = raster.rasterize(a, lvl, mode="centers")
+    rb = raster.rasterize(b, lvl, mode="centers")
+    assert set(u) == set(ra) | set(rb)
+    assert set(i) == set(ra) & set(rb)
+    assert set(d) == set(ra) - set(rb)
+    assert set(x) == set(ra) ^ set(rb)
+    assert len(i) > 0 and len(d) > 0
+
+
+def test_closest_cell_distance():
+    cell = int(cellid.parent(cellid.from_latlng_deg(np.array([10.0]), np.array([10.0])), 8)[0])
+    inside = pts([10.0], [10.0])[0]
+    assert queries.closest_cell_distance(cell, inside) == 0.0
+    far = pts([-40.0], [100.0])[0]
+    assert queries.closest_cell_distance(cell, far) > 0.1

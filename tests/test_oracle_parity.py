@@ -35,6 +35,8 @@ def _compare(df_ray, df_sql, sort_cols):
         "s2_tile_counts_l8",
         "s2_tile_counts_l12",
         "s2_face_histogram",
+        "s2_tile_counts_l8_salted",
+        "s2_snap_dedup_l10",
         "s2_pip_join_docs",
         "s2_pip_join_lineitem",
         "s2_cap_join_docs",
