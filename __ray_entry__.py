@@ -136,6 +136,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "events", columns=["ts", "event_type", "value"])
         )
 
+    def q_sessions(sf_dir: str):
+        return textops.sessionize(
+            _read(sf_dir, "events", columns=["ts", "user_id"]), gap_minutes=30
+        )
+
     def q_quality(sf_dir: str):
         return textops.quality(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
@@ -172,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": q_token_stats,
         "doc_exact_dedup": q_exact_dedup,
         "events_window_1h": q_window,
+        "events_sessions_30m": q_sessions,
         "doc_quality": q_quality,
         "doc_near_dup_pairs": q_near_dup,
         "doc_fingerprints": q_fingerprints,
@@ -219,6 +225,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT substr(md5(text),1,16) AS content_hash, "
             "min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups "
             "FROM documents GROUP BY 1"
+        ),
+        "events_sessions_30m": (
+            "WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR "
+            "date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id), ts) > 1800000000 THEN 1 ELSE 0 END AS brk "
+            "FROM events) "
+            "SELECT user_id, sum(brk)::BIGINT AS n_sessions, "
+            "count(*)::BIGINT AS n_events FROM g GROUP BY 1"
         ),
         "events_window_1h": (
             "SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_s, "

@@ -92,17 +92,29 @@ def from_face_ij(face, i, j):
     n = face.astype(U) << U(POS_BITS - 1)
     bits = (face & SWAP_MASK).astype(U)
     mask = U((1 << LOOKUP_BITS) - 1)
+    # scratch buffers reused across the 8 rounds (the loop is ~90 array
+    # passes; avoiding per-op allocations roughly halves its DRAM traffic)
+    idx = np.empty_like(i)
+    t = np.empty_like(i)
+    res = np.empty_like(i)
     for k in range(7, -1, -1):
         ku = U(k * LOOKUP_BITS)
-        idx = (
-            bits
-            + (((i >> ku) & mask) << U(LOOKUP_BITS + 2))
-            + (((j >> ku) & mask) << U(2))
-        )
-        res = _LOOKUP_POS_U[idx]
-        n |= (res >> U(2)) << U(k * 2 * LOOKUP_BITS)
-        bits = res & U(SWAP_MASK | INVERT_MASK)
-    return n * U(2) + U(1)
+        np.right_shift(i, ku, out=idx)
+        idx &= mask
+        idx <<= U(LOOKUP_BITS + 2)
+        np.right_shift(j, ku, out=t)
+        t &= mask
+        t <<= U(2)
+        idx += t
+        idx += bits
+        np.take(_LOOKUP_POS_U, idx.view(np.int64), out=res)
+        np.right_shift(res, U(2), out=t)
+        t <<= U(k * 2 * LOOKUP_BITS)
+        n |= t
+        np.bitwise_and(res, U(SWAP_MASK | INVERT_MASK), out=bits)
+    n <<= U(1)
+    n |= U(1)
+    return n
 
 
 def from_xyz(x, y, z):

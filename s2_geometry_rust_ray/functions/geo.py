@@ -44,22 +44,26 @@ def mix(key):
 
 
 def derive_latlng(key):
-    """Integer key -> (lat_deg, lng_deg) float64; 30% clustered in hot spots."""
+    """Integer key -> (lat_deg, lng_deg) float64; 30% clustered in hot spots.
+
+    Hot path: uniform branch computed for all rows in place, the clustered
+    ~30% overwritten via masked assignment (identical per-row formulas to
+    the SQL twin — only the evaluation strategy differs)."""
     h1, h2, h3 = mix(key)
-    u1 = h2.astype(np.float64) / np.float64(M32)
-    u2 = h3.astype(np.float64) / np.float64(M32)
+    u1 = h2.astype(np.float64)
+    u1 /= np.float64(M32)
+    u2 = h3.astype(np.float64)
+    u2 /= np.float64(M32)
+    lat = 176.0 * u1
+    lat += -88.0
+    lng = 360.0 * u2
+    lng += -180.0
     clustered = (h1 % U(CLUSTER_MOD)) < U(CLUSTER_LT)
-    c = (h1 % U(5)).astype(np.int64)
-    lat = np.where(
-        clustered,
-        CLUSTER_LAT[c] + (u1 - 0.5) * CLUSTER_SPREAD,
-        -88.0 + 176.0 * u1,
-    )
-    lng = np.where(
-        clustered,
-        CLUSTER_LNG[c] + (u2 - 0.5) * CLUSTER_SPREAD,
-        -180.0 + 360.0 * u2,
-    )
+    if clustered.any():
+        m = clustered
+        c = (h1[m] % U(5)).astype(np.int64)
+        lat[m] = CLUSTER_LAT[c] + (u1[m] - 0.5) * CLUSTER_SPREAD
+        lng[m] = CLUSTER_LNG[c] + (u2[m] - 0.5) * CLUSTER_SPREAD
     return lat, lng
 
 

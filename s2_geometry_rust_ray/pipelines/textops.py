@@ -152,6 +152,67 @@ def fingerprints(ds):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def sessionize(ds, gap_minutes: int = 30, num_parts: int = 8):
+    """Session windows over the events log: per user, events sorted by ts
+    split into sessions at gaps > gap_minutes.  Output (user_id,
+    n_sessions, n_events) — integer-only, so the SQL oracle (lag() +
+    cumulative CASE sum) matches bit-exactly.
+
+    Physical plan: hash-exchange by user_id (stages/exchange.py — sessions
+    need ALL of a user's rows co-located), per-partition vectorized
+    sessionization (sort by (user, ts), gap diff, segment count).
+    """
+    import pyarrow as pa
+
+    from ..stages import exchange
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        return pa.table(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "ts_us": ts.astype(np.int64),
+            }
+        )
+
+    slim = ds.map_batches(project, batch_format="pyarrow")
+
+    def per_partition(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        t = batch["ts_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, u))
+        u, t = u[order], t[order]
+        new_user = np.empty(len(u), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        gap = np.empty(len(u), dtype=bool)
+        gap[0] = True
+        gap[1:] = (t[1:] - t[:-1]) > gap_minutes * 60_000_000
+        new_session = new_user | gap
+        uu, starts = np.unique(u, return_index=True)
+        seg = np.concatenate([starts, [len(u)]])
+        n_sessions = np.add.reduceat(new_session.astype(np.int64), starts)
+        n_events = np.diff(seg)
+        return pa.table(
+            {"user_id": uu, "n_sessions": n_sessions, "n_events": n_events}
+        )
+
+    import ray
+    import ray.data
+
+    parts = exchange.hash_exchange(slim, "user_id", num_parts)
+
+    @ray.remote
+    def run_part(tbl):
+        if tbl is None or tbl.num_rows == 0:
+            return None
+        return per_partition(tbl)
+
+    refs = [run_part.remote(p) for p in parts]
+    refs = [r for r in refs if ray.get(r) is not None]
+    return ray.data.from_arrow_refs(refs)
+
+
 def window_counts(ds):
     """Tumbling 1-hour windows over events: (event_type, window_s, n,
     sum_floor_value).  Integer sums only (order-independent => bit-exact vs

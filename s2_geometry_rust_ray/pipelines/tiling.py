@@ -39,7 +39,7 @@ def tile_counts(
     ds: "ray.data.Dataset",
     key_col: str,
     level: int,
-    batch_size: int = 131072,
+    batch_size: int = 32768,
     final: str = "single",
 ) -> "ray.data.Dataset":
     """key -> geotag -> leaf cell -> tile counts at `level`.
@@ -55,7 +55,11 @@ def tile_counts(
     partials = encoded.map_batches(
         tile_partial_counts(level), batch_format="pyarrow", batch_size=batch_size
     )
-    summed = agg.sum_by_key(partials, "tile", ["n_partial"], final=final)
+    if final == "single" and level <= 10:
+        # bounded cardinality (<= 6*4^level keys): sort-free tree merge
+        summed = agg.tree_reduce_by_key(partials, "tile", ["n_partial"])
+    else:
+        summed = agg.sum_by_key(partials, "tile", ["n_partial"], final=final)
 
     def tokenize(batch: pa.Table) -> pa.Table:
         toks = cellid.to_hex(

@@ -57,6 +57,46 @@ def _reduce_block(key_col: str, spec: dict[str, str] | list[str]):
     return fn
 
 
+def tree_reduce_by_key(ds, key_col: str, spec: dict[str, str] | list[str],
+                       branching: int = 8):
+    """Sort-free TREE merge for BOUNDED-cardinality keys (e.g. level-K tile
+    counts: at most 6*4^K keys exist): per-block partial reduce, then
+    log_branching(B) rounds of repartition+reduce down to one block.  No
+    all-to-all exchange at all — each round only concatenates blocks —
+    which beats sorting when the per-block partials compress poorly
+    (high-cardinality blocks of a bounded-key aggregate).  The final block
+    holds one row per distinct key; use the sort-based reduce_by_key
+    final='sorted' when that can't fit a single task."""
+    import ray
+    import ray.data
+
+    if isinstance(spec, list):
+        spec = {c: "sum" for c in spec}
+    reduce_fn = _reduce_block(key_col, spec)
+    partials = ds.map_batches(reduce_fn, batch_format="pyarrow")
+    # raw-Ray merge tasks instead of Dataset.repartition: the Repartition
+    # operator costs ~2 s/task of split overhead at this shape (measured),
+    # while a concat+reduceat task on the same data costs ~0.3 s
+    refs = partials.to_arrow_refs()
+
+    @ray.remote
+    def merge(*tbls):
+        tbls = [t for t in tbls if t is not None and t.num_rows > 0]
+        if not tbls:
+            return None
+        return reduce_fn(pa.concat_tables(tbls, promote_options="default"))
+
+    while len(refs) > 1:
+        refs = [
+            merge.remote(*refs[i : i + branching])
+            for i in range(0, len(refs), branching)
+        ]
+    out = ray.get(refs[0])
+    if out is None:
+        out = pa.table({key_col: []})
+    return ray.data.from_arrow(out)
+
+
 def reduce_by_key(
     ds,
     key_col: str,

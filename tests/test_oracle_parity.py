@@ -42,6 +42,7 @@ def _compare(df_ray, df_sql, sort_cols):
         "s2_cap_join_docs",
         "s2_rect_join_lineitem",
         "s2_knn_docs",
+        "events_sessions_30m",
         "s2_knn_cell_docs",
         "s2_pip_join_shuffle_docs",
     ],
