@@ -161,6 +161,29 @@ def to_face_ij_orientation(cell_id):
     return face, i.astype(np.int64), j.astype(np.int64), orient
 
 
+_LOOKUP_IJ_LIST = _LOOKUP_IJ.tolist()
+
+
+def decode_scalar(cid: int):
+    """Pure-Python scalar ToFaceIJOrientation — ~20x faster than the
+    vectorized path on single ids (coverer/Cell hot loop).  Returns
+    (face, i, j, orientation)."""
+    cid = int(cid)
+    face = cid >> POS_BITS
+    bits = face & SWAP_MASK
+    i = j = 0
+    for k in range(7, -1, -1):
+        nbits = 2 if k == 7 else 4
+        bits += ((cid >> (k * 8 + 1)) & ((1 << (2 * nbits)) - 1)) << 2
+        bits = _LOOKUP_IJ_LIST[bits]
+        i += (bits >> 6) << (k * 4)
+        j += ((bits >> 2) & 15) << (k * 4)
+        bits &= 3
+    if (cid & -cid) & 0x1111111111111110:
+        bits ^= SWAP_MASK
+    return face, i, j, bits
+
+
 def get_center_si_ti(cell_id):
     """cell id -> (face, si, ti) of the cell center (C++ GetCenterSiTi)."""
     cid = np.asarray(cell_id, dtype=U)

@@ -19,14 +19,14 @@ from .interval import PI, R1Interval, S1Interval
 class Cell:
     def __init__(self, cid: int):
         self.id = int(cid)
-        arr = np.array([self.id], dtype=np.uint64)
-        face, i, j, orientation = cellid.to_face_ij_orientation(arr)
-        self.face = int(face[0])
-        self.level = int(cellid.level(arr)[0])
-        self.orientation = int(orientation[0])
+        face, i, j, orientation = cellid.decode_scalar(self.id)
+        self.face = face
+        lsb = self.id & -self.id
+        self.level = coords.MAX_LEVEL - (lsb.bit_length() - 1) // 2
+        self.orientation = orientation
         size = 1 << (coords.MAX_LEVEL - self.level)
-        i_lo = int(i[0]) & -size
-        j_lo = int(j[0]) & -size
+        i_lo = i & -size
+        j_lo = j & -size
         # uv bounds: exact st bounds of the ij range (C++ S2Cell::BoundUV)
         self.u_lo = float(coords.st_to_uv(coords.ij_to_st_min(i_lo)))
         self.u_hi = float(coords.st_to_uv(coords.ij_to_st_min(i_lo + size)))
@@ -35,14 +35,16 @@ class Cell:
 
     def vertices(self) -> np.ndarray:
         """4 corners, CCW (lower-left first in (u,v) orientation), unit
-        length, shape (4,3)."""
-        us = [self.u_lo, self.u_hi, self.u_hi, self.u_lo]
-        vs = [self.v_lo, self.v_lo, self.v_hi, self.v_hi]
-        x, y, z = coords.face_uv_to_xyz(
-            np.full(4, self.face), np.array(us), np.array(vs)
-        )
-        v = np.stack([x, y, z], axis=-1)
-        return v / np.linalg.norm(v, axis=-1, keepdims=True)
+        length, shape (4,3).  Cached; built from the face frame identity
+        xyz = N_f + u*U_f + v*V_f (bit-identical to face_uv_to_xyz since
+        every component has exactly one nonzero contribution)."""
+        if getattr(self, "_verts", None) is None:
+            ax = coords.FACE_UVW_AXES[self.face]  # [u_axis, v_axis, norm]
+            us = np.array([self.u_lo, self.u_hi, self.u_hi, self.u_lo])
+            vs = np.array([self.v_lo, self.v_lo, self.v_hi, self.v_hi])
+            v = ax[2][None, :] + us[:, None] * ax[0][None, :] + vs[:, None] * ax[1][None, :]
+            self._verts = v / np.sqrt((v * v).sum(axis=1))[:, None]
+        return self._verts
 
     def center(self) -> np.ndarray:
         x, y, z = cellid.to_xyz(np.array([self.id], dtype=np.uint64))
@@ -61,46 +63,58 @@ class Cell:
 
     def get_rect_bound(self):
         """Conservative lat/lng bound via vertices + edge latitude extrema
-        (cells at level>=1 span < 90 deg of longitude except polar faces)."""
+        (cells at level>=1 span < 90 deg of longitude except polar faces).
+
+        Pure scalar math: at n=4 points, Python-float arithmetic is ~10x
+        faster than numpy-array calls, and this runs per candidate in the
+        coverer's inner loop."""
+        if getattr(self, "_bound", None) is not None:
+            return self._bound
         verts = self.vertices()
-        x, y, z = verts[:, 0], verts[:, 1], verts[:, 2]
-        lats = np.arctan2(z, np.sqrt(x * x + y * y))
-        lat = R1Interval(float(lats.min()), float(lats.max()))
+        vt = [(float(p[0]), float(p[1]), float(p[2])) for p in verts]
+        lats = [math.atan2(p[2], math.hypot(p[0], p[1])) for p in vt]
+        lat = R1Interval(min(lats), max(lats))
         # polar faces (2 = +z, 5 = -z) contain a pole when the cell touches
         # the face center (u=v=0)
-        has_np = self.face == 2 and self.u_lo <= 0 <= self.u_hi and self.v_lo <= 0 <= self.v_hi
-        has_sp = self.face == 5 and self.u_lo <= 0 <= self.u_hi and self.v_lo <= 0 <= self.v_hi
-        if has_np:
-            return R1Interval(lat.lo, PI / 2), S1Interval.full()
-        if has_sp:
-            return R1Interval(-PI / 2, lat.hi), S1Interval.full()
-        lngs = np.arctan2(y, x)
+        touches_center = self.u_lo <= 0 <= self.u_hi and self.v_lo <= 0 <= self.v_hi
+        if self.face == 2 and touches_center:
+            self._bound = (R1Interval(lat.lo, PI / 2), S1Interval.full())
+            return self._bound
+        if self.face == 5 and touches_center:
+            self._bound = (R1Interval(-PI / 2, lat.hi), S1Interval.full())
+            return self._bound
+        lngs = [math.atan2(p[1], p[0]) for p in vt]
         lng = S1Interval.empty()
         for k in range(4):
-            lng = lng.union(
-                S1Interval.from_point_pair(float(lngs[k]), float(lngs[(k + 1) % 4]))
-            )
-        # edge latitude extrema (same construction as Loop bound)
-        nxt = np.roll(verts, -1, axis=0)
-        normals = np.cross(verts, nxt)
+            lng = lng.union(S1Interval.from_point_pair(lngs[k], lngs[(k + 1) % 4]))
         for e in range(4):
-            n = normals[e]
-            nn = float(n @ n)
+            ax, ay, az = vt[e]
+            bx, by, bz = vt[(e + 1) % 4]
+            nx = ay * bz - az * by
+            ny = az * bx - ax * bz
+            nz = ax * by - ay * bx
+            nn = nx * nx + ny * ny + nz * nz
             if nn == 0.0:
                 continue
             for sgn in (1.0, -1.0):
-                m = sgn * (np.array([0.0, 0.0, 1.0]) * nn - n * float(n[2]))
-                norm = np.linalg.norm(m)
+                # z-extremum direction of the edge's great circle
+                mx = sgn * (-nx * nz)
+                my = sgn * (-ny * nz)
+                mz = sgn * (nn - nz * nz)
+                norm = math.sqrt(mx * mx + my * my + mz * mz)
                 if norm == 0.0:
                     continue
-                m = m / norm
-                a, b = verts[e], nxt[e]
-                if float(np.dot(np.cross(a, m), n)) >= 0.0 and float(
-                    np.dot(np.cross(m, b), n)
-                ) >= 0.0:
-                    lat = lat.add_point(math.atan2(m[2], math.hypot(m[0], m[1])))
+                mx, my, mz = mx / norm, my / norm, mz / norm
+                # on the (minor) arc iff cross(a,m).n >= 0 and cross(m,b).n >= 0
+                c1 = ((ay * mz - az * my) * nx + (az * mx - ax * mz) * ny
+                      + (ax * my - ay * mx) * nz)
+                c2 = ((my * bz - mz * by) * nx + (mz * bx - mx * bz) * ny
+                      + (mx * by - my * bx) * nz)
+                if c1 >= 0.0 and c2 >= 0.0:
+                    lat = lat.add_point(math.atan2(mz, math.hypot(mx, my)))
         lat = R1Interval(max(lat.lo - 1e-13, -PI / 2), min(lat.hi + 1e-13, PI / 2))
-        return lat, lng.expanded(1e-13)
+        self._bound = (lat, lng.expanded(1e-13))
+        return self._bound
 
     def get_cap_bound(self):
         """Bounding cap: center + max chord to vertices (conservative)."""

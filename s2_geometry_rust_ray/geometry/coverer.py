@@ -108,31 +108,65 @@ class RectRegion:
 
 
 class PolygonRegion:
-    """Exact loop-vs-cell tests via the robust crossing predicates."""
+    """Exact loop-vs-cell tests, vectorized: all (loop edge x cell edge)
+    crossing orientations come from four sign matrices (float triage, exact
+    fallback only for inconclusive pairs) — same structure as the PIP
+    kernel in geometry/loop.py."""
 
     def __init__(self, poly: Polygon | Loop):
         self.poly = poly if isinstance(poly, Polygon) else Polygon([poly])
         lat, lng = self.poly.bound()
         self._bound = LatLngRect(lat, lng)
+        self._va = np.concatenate([lp.v for lp in self.poly.loops])
+        self._vb = np.concatenate([lp.vnext for lp in self.poly.loops])
+        self._en = np.concatenate([lp.edge_normals for lp in self.poly.loops])
 
     def _any_edge_crossing(self, cell_verts: np.ndarray) -> bool:
         from ..functions import predicates as pred
 
         cv_next = np.roll(cell_verts, -1, axis=0)
-        for lp in self.poly.loops:
-            for e in range(lp.num_vertices()):
-                a, b = lp.v[e], lp.vnext[e]
-                for k in range(4):
-                    if pred.crossing_sign(a, b, cell_verts[k], cv_next[k]) >= 0:
-                        return True
+        cn = np.cross(cell_verts, cv_next)  # (4,3) cell edge normals
+        acb = -pred.triage_sign(self._en @ cell_verts.T)  # (E,4): -Sign(a,b,c)
+        bda = pred.triage_sign(self._en @ cv_next.T)
+        cbd = -pred.triage_sign((cn @ self._vb.T).T)  # (E,4): -Sign(c,d,b)
+        dac = pred.triage_sign((cn @ self._va.T).T)  # (E,4): Sign(c,d,a)
+        crossing = (acb == bda) & (acb == cbd) & (acb == dac) & (acb != 0)
+        if crossing.any():
+            return True
+        uncertain = (acb == 0) | (bda == 0) | (cbd == 0) | (dac == 0)
+        if uncertain.any():
+            for e, k in zip(*np.nonzero(uncertain)):
+                if (
+                    pred.crossing_sign(
+                        self._va[e], self._vb[e], cell_verts[k], cv_next[k]
+                    )
+                    >= 0
+                ):
+                    return True
         return False
 
     def _any_loop_vertex_in_cell(self, cell: Cell) -> bool:
-        for lp in self.poly.loops:
-            for vtx in lp.v:
-                if cell.contains_point(vtx):
-                    return True
-        return False
+        from ..functions import coords
+
+        v = self._va
+        # half-space check for the cell's face, then uv bounds (vectorized
+        # C++ FaceXYZtoUV over the vertex array)
+        f = cell.face
+        axis = f % 3
+        comp = v[:, axis]
+        valid = comp > 0 if f < 3 else comp < 0
+        if not valid.any():
+            return False
+        vv = v[valid]
+        u, w = coords.valid_face_xyz_to_uv(
+            np.full(len(vv), f, dtype=np.int64), vv[:, 0], vv[:, 1], vv[:, 2]
+        )
+        return bool(
+            (
+                (u >= cell.u_lo) & (u <= cell.u_hi)
+                & (w >= cell.v_lo) & (w <= cell.v_hi)
+            ).any()
+        )
 
     def may_intersect_cell(self, cell: Cell) -> bool:
         lat, lng = cell.get_rect_bound()

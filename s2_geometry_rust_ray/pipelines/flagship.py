@@ -64,10 +64,11 @@ def image_pip_join(images_dir: str, layer=None, mode: str = "inner",
 
     if layer is None:
         layer = standard_polygon_layer()
+    prepared = pip_stages.prepare_layer(layer)
     ds = geometry_view(images_dir)
     return ds.map_batches(
         pip_stages.PIPJoin,
-        fn_constructor_kwargs={"layer": layer, "key_col": "image_id", "mode": mode},
+        fn_constructor_kwargs={"layer": prepared, "key_col": "image_id", "mode": mode},
         batch_format="pyarrow",
         batch_size=65536,
         concurrency=concurrency,

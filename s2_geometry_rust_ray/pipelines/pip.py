@@ -47,16 +47,19 @@ def pip_join(ds, key_col: str, layer=None, mode: str = "inner", concurrency=(1, 
     At scale `concurrency` is sized to the cluster; the layer rides the
     object store once per actor (PIPJoin.__init__), never per batch.
     """
+    from ..stages.encode import geotag_and_encode
+
     if layer is None:
         layer = standard_polygon_layer()
+    prepared = pip_stages.prepare_layer(layer)  # coverer runs ONCE, driver-side
     tagged = ds.map_batches(
-        lambda b: derive_geotags(b, key_col), batch_format="pyarrow"
+        geotag_and_encode(key_col), batch_format="pyarrow", batch_size=32768
     )
     return tagged.map_batches(
         pip_stages.PIPJoin,
-        fn_constructor_kwargs={"layer": layer, "key_col": key_col, "mode": mode},
+        fn_constructor_kwargs={"layer": prepared, "key_col": key_col, "mode": mode},
         batch_format="pyarrow",
-        batch_size=65536,
+        batch_size=32768,
         concurrency=concurrency,
     )
 

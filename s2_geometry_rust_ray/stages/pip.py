@@ -24,6 +24,55 @@ from ..functions.coords import latlng_deg_to_xyz
 from ..geometry.loop import Polygon
 
 
+class PreparedLayer:
+    """Driver-side precomputed broadcast state for the PIP join: polygons +
+    covering / interior-covering cell ranges (the S2ShapeIndex equivalent,
+    SURVEY §2.7).  Candidate pruning = covering membership; fast-accept =
+    interior-covering membership (skip the exact kernel entirely)."""
+
+    def __init__(self, polys, coverings, interiors):
+        self.polys = polys
+        self.coverings = coverings
+        self.interiors = interiors
+
+
+def prepare_layer(layer: dict, covering_max_cells: int = 48,
+                  covering_max_level: int = 14) -> PreparedLayer:
+    from ..functions import cellid as _cellid
+    from ..geometry import cell_union
+    from ..geometry.coverer import PolygonRegion, RegionCoverer
+
+    rc = RegionCoverer(max_cells=covering_max_cells, max_level=covering_max_level)
+    polys, coverings, interiors = {}, {}, {}
+    for pid, loops in layer.items():
+        poly = loops if isinstance(loops, Polygon) else Polygon.from_loops_latlng_deg(loops)
+        polys[pid] = poly
+        region = PolygonRegion(poly)
+        cov = cell_union.normalize(rc.get_covering(region))
+        icov = cell_union.normalize(rc.get_interior_covering(region))
+        coverings[pid] = (_cellid.range_min(cov), _cellid.range_max(cov))
+        interiors[pid] = (_cellid.range_min(icov), _cellid.range_max(icov))
+    return PreparedLayer(polys, coverings, interiors)
+
+
+def _ranges_contain(rmin: np.ndarray, rmax: np.ndarray, leaves: np.ndarray) -> np.ndarray:
+    """Leaf ids inside any [rmin, rmax] cell range (sorted, disjoint) —
+    searchsorted membership, the cell-union pre-filter."""
+    if rmin.size == 0:
+        return np.zeros(leaves.shape, dtype=bool)
+    idx = np.searchsorted(rmax, leaves, side="left")
+    ok = idx < rmin.size
+    idx = np.minimum(idx, rmin.size - 1)
+    return ok & (rmin[idx] <= leaves)
+
+
+def _face_ij_of(x, y, z):
+    from ..functions import coords
+
+    face, u, v = coords.xyz_to_face_uv(x, y, z)
+    return face, coords.st_to_ij(coords.uv_to_st(u)), coords.st_to_ij(coords.uv_to_st(v))
+
+
 class PIPJoin:
     """Actor-pool stage: callable class for ds.map_batches(PIPJoin, ...,
     concurrency=N).  fn_constructor_kwargs carries the broadcast layer
@@ -35,41 +84,49 @@ class PIPJoin:
 
         if isinstance(layer, ray.ObjectRef):
             layer = ray.get(layer)
-        # build geometry state ONCE per actor
-        self.polys: dict[str, Polygon] = {}
-        for pid, loops in layer.items():
-            if isinstance(loops, Polygon):
-                self.polys[pid] = loops
-            else:
-                self.polys[pid] = Polygon.from_loops_latlng_deg(loops)
+        # unpack geometry state ONCE per actor; coverings are computed ONCE
+        # on the driver (prepare_layer) and broadcast — an actor pool must
+        # not re-run the coverer per replica
+        prepared = layer if isinstance(layer, PreparedLayer) else prepare_layer(layer)
+        self.polys = prepared.polys
+        self.coverings = prepared.coverings
+        self.interiors = prepared.interiors
         self.key_col = key_col
         self.mode = mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions import cellid as _cellid
+
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         lng = batch["lng"].to_numpy(zero_copy_only=False)
         x, y, z = latlng_deg_to_xyz(lat, lng)
         pts = np.stack([x, y, z], axis=-1)  # NOT normalized: signs are
         # scale-invariant and the raw values are the oracle's bit-exact twins
-        lat_rad = np.deg2rad(lat)
-        lng_rad = np.deg2rad(lng)
         keys = batch[self.key_col].to_numpy(zero_copy_only=False)
+        if "cell_id" in batch.schema.names:
+            leaves = batch["cell_id"].to_numpy(zero_copy_only=False)
+        else:
+            leaves = _cellid.from_face_ij(
+                *_face_ij_of(x, y, z)
+            )
 
         out_keys = []
         out_pids = []
         any_match = np.zeros(len(keys), dtype=bool)
         for pid, poly in self.polys.items():
-            # conservative bbox pre-filter (cheap comparisons) before the
-            # exact (points x edges) kernel
-            cand = np.zeros(len(keys), dtype=bool)
-            for lp in poly.loops:
-                cand |= lp.bound_contains_latlng_rad(lat_rad, lng_rad)
+            rmin, rmax = self.coverings[pid]
+            cand = _ranges_contain(rmin, rmax, leaves)
             if not cand.any():
                 continue
+            irmin, irmax = self.interiors[pid]
             idx = np.nonzero(cand)[0]
-            inside_idx = poly.contains_points(pts[idx])
-            hit = idx[inside_idx]
+            # fast-accept: leaf inside an interior-covering cell => inside
+            accepted = _ranges_contain(irmin, irmax, leaves[idx])
+            exact_idx = idx[~accepted]
+            inside_exact = poly.contains_points(pts[exact_idx])
+            hit = np.concatenate([idx[accepted], exact_idx[inside_exact]])
             if self.mode == "inner" and hit.size:
+                hit = np.sort(hit)
                 out_keys.append(keys[hit])
                 out_pids.append(np.full(hit.size, pid, dtype=object))
             any_match[hit] = True
