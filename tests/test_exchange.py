@@ -1,0 +1,61 @@
+"""Hash exchange / hash join / salting unit tests (stages/exchange.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from s2_geometry_rust_ray.stages import exchange
+
+
+def test_hash_part_partitions_all_rows():
+    t = pa.table({"k": np.arange(1000, dtype=np.int64), "v": np.ones(1000)})
+    parts = exchange._hash_part(t, "k", 7)
+    assert sum(p.num_rows for p in parts) == 1000
+    # same key always lands in the same partition
+    t2 = pa.table({"k": np.array([5, 5, 5], dtype=np.int64), "v": np.zeros(3)})
+    parts2 = exchange._hash_part(t2, "k", 7)
+    nonempty = [i for i, p in enumerate(parts2) if p.num_rows]
+    assert len(nonempty) == 1
+
+
+def test_hash_join_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+
+    rng = np.random.default_rng(0)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 500), "a": rng.integers(0, 9, 500)})
+    right = pd.DataFrame({"k": np.arange(0, 60, 2), "b": np.arange(30)})
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(2)
+    got = exchange.hash_join(lds, rds, "k", num_parts=5).to_pandas()
+    want = left.merge(right, on="k")
+    key = ["k", "a", "b"]
+    a = got[key].sort_values(key).reset_index(drop=True)
+    b = want[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_hot_key_histogram(ray_session):
+    import ray.data
+
+    k = np.concatenate([np.full(900, 7), np.arange(100)]).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": k})).repartition(4)
+    hot = exchange.hot_key_histogram(ds, "k", top_n=3)
+    assert max(hot, key=hot.get) == 7
+    assert hot[7] == 900 + 1  # 7 also occurs once in arange
+
+
+def test_salted_cell_key_roundtrip():
+    # level-8-style sort keys have 44 zero low bits
+    base = (np.array([3, 9], dtype=np.int64) << 44) | (1 << 43)
+    rows = np.arange(10, dtype=np.uint64)
+    hot = {int(base[0])}
+    for k in base:
+        keys = np.full(10, k, dtype=np.int64)
+        salted = exchange.salted_cell_key(keys, rows, hot, 8)
+        unsalted = salted & ~np.int64(7)
+        assert np.all(unsalted == k)
+        if int(k) in hot:
+            assert len(np.unique(salted)) > 1  # spread
+        else:
+            assert len(np.unique(salted)) == 1
