@@ -141,6 +141,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "events", columns=["ts", "user_id"]), gap_minutes=30
         )
 
+    def q_asof(sf_dir: str):
+        return textops.asof_join_events(
+            _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+        )
+
     def q_quality(sf_dir: str):
         return textops.quality(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
@@ -178,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": q_exact_dedup,
         "events_window_1h": q_window,
         "events_sessions_30m": q_sessions,
+        "events_asof_purchase_view": q_asof,
         "doc_quality": q_quality,
         "doc_near_dup_pairs": q_near_dup,
         "doc_fingerprints": q_fingerprints,
@@ -225,6 +231,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT substr(md5(text),1,16) AS content_hash, "
             "min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups "
             "FROM documents GROUP BY 1"
+        ),
+        "events_asof_purchase_view": (
+            "WITH v AS (SELECT user_id, ts, max(event_id) AS view_id FROM events "
+            "WHERE event_type = 'view' GROUP BY 1, 2), "
+            "p AS (SELECT event_id AS purchase_id, user_id, ts FROM events "
+            "WHERE event_type = 'purchase') "
+            "SELECT p.purchase_id, v.view_id "
+            "FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.ts < p.ts"
         ),
         "events_sessions_30m": (
             "WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER "

@@ -213,6 +213,78 @@ def sessionize(ds, gap_minutes: int = 30, num_parts: int = 8):
     return ray.data.from_arrow_refs(refs)
 
 
+def asof_join_events(ds, left_type: str = "purchase", right_type: str = "view",
+                     num_parts: int = 8):
+    """As-of join over the events log: each `left_type` event matched to the
+    most recent STRICTLY-earlier `right_type` event of the same user.
+    Output (purchase_id, view_id) inner rows — integer-only, bit-exact vs
+    DuckDB's ASOF JOIN.
+
+    Physical plan: hash-exchange by user_id, per-partition pandas
+    merge_asof over ts-sorted frames (the guide's as-of pattern).  Right
+    side pre-deduped to max event_id per (user, ts) so equal-timestamp
+    ties are deterministic in both engines."""
+    import pyarrow as pa
+
+    from ..stages import exchange
+
+    def project(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == left_type) | (et == right_type)
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        return pa.table(
+            {
+                "event_id": batch["event_id"].to_numpy(zero_copy_only=False)[keep],
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False)[keep],
+                "ts_us": ts.astype(np.int64)[keep],
+                "is_left": (et[keep] == left_type),
+            }
+        )
+
+    slim = ds.map_batches(project, batch_format="pyarrow")
+
+    def per_partition(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        left = df[df["is_left"]].sort_values(["ts_us", "event_id"])
+        right = (
+            df[~df["is_left"]]
+            .groupby(["user_id", "ts_us"], as_index=False)["event_id"].max()
+            .sort_values(["ts_us", "event_id"])
+        )
+        if left.empty or right.empty:
+            return pa.table({"purchase_id": pa.array([], pa.int64()),
+                             "view_id": pa.array([], pa.int64())})
+        m = pd.merge_asof(
+            left, right, on="ts_us", by="user_id",
+            allow_exact_matches=False, suffixes=("", "_r"),
+        )
+        m = m.dropna(subset=["event_id_r"])
+        return pa.table(
+            {"purchase_id": m["event_id"].to_numpy(dtype=np.int64),
+             "view_id": m["event_id_r"].to_numpy(dtype=np.int64)}
+        )
+
+    import ray
+    import ray.data
+
+    parts = exchange.hash_exchange(slim, "user_id", num_parts)
+
+    @ray.remote
+    def run_part(tbl):
+        if tbl is None or tbl.num_rows == 0:
+            return None
+        return per_partition(tbl)
+
+    refs = [run_part.remote(p) for p in parts]
+    refs = [r for r in refs if ray.get(r) is not None]
+    if not refs:
+        return ray.data.from_arrow(
+            pa.table({"purchase_id": pa.array([], pa.int64()),
+                      "view_id": pa.array([], pa.int64())})
+        )
+    return ray.data.from_arrow_refs(refs)
+
+
 def window_counts(ds):
     """Tumbling 1-hour windows over events: (event_type, window_s, n,
     sum_floor_value).  Integer sums only (order-independent => bit-exact vs

@@ -43,6 +43,7 @@ def _compare(df_ray, df_sql, sort_cols):
         "s2_rect_join_lineitem",
         "s2_knn_docs",
         "events_sessions_30m",
+        "events_asof_purchase_view",
         "s2_knn_cell_docs",
         "s2_pip_join_shuffle_docs",
     ],
