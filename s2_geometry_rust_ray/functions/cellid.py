@@ -21,7 +21,6 @@ import numpy as np
 
 from . import coords
 from .coords import (
-    IJ_TO_POS,
     INVERT_MASK,
     LIMIT_IJ,
     MAX_LEVEL,

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from . import cellid, coords
+from . import cellid
 
 
 def snap_e7(lat_deg, lng_deg, exponent: int = 7):

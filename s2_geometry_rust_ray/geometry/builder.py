@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..functions import cellid, snap as snapfn
+from ..functions import snap as snapfn
 from .loop import Loop, Polygon, validate_loop
 
 

@@ -28,7 +28,6 @@ from ..functions import cellid
 from . import cell_union
 from .cap import Cap
 from .cell import Cell
-from .interval import R1Interval, S1Interval
 from .loop import Loop, Polygon
 from .rect import LatLngRect
 

@@ -13,8 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..functions import cellid, predicates as pred
-from .cap import radians_from_chord2
+from ..functions import predicates as pred
 from .cell import Cell
 
 

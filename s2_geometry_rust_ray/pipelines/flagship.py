@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import glob
 
-import numpy as np
 import pyarrow as pa
 
 from ..functions import cellid

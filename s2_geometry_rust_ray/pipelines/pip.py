@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-import numpy as np
-
 from ..geometry import fixtures
 from ..geometry.cap import Cap
 from ..geometry.rect import LatLngRect

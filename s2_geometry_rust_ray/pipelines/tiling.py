@@ -11,10 +11,7 @@ contributes at most one row per tile regardless of skew.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
-
-import ray.data
 
 from ..functions import cellid
 from ..stages import agg

@@ -17,7 +17,6 @@ Scale notes (100 TB / 10^12 rows):
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from ..functions import cellid, geo
