@@ -178,6 +178,12 @@ def sessionize(ds, gap_minutes: int = 30, num_parts: int = 8):
     slim = ds.map_batches(project, batch_format="pyarrow")
 
     def per_partition(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"user_id": batch["user_id"],
+                 "n_sessions": pa.array([], pa.int64()),
+                 "n_events": pa.array([], pa.int64())}
+            )
         u = batch["user_id"].to_numpy(zero_copy_only=False)
         t = batch["ts_us"].to_numpy(zero_copy_only=False)
         order = np.lexsort((t, u))
@@ -197,20 +203,8 @@ def sessionize(ds, gap_minutes: int = 30, num_parts: int = 8):
             {"user_id": uu, "n_sessions": n_sessions, "n_events": n_events}
         )
 
-    import ray
-    import ray.data
-
     parts = exchange.hash_exchange(slim, "user_id", num_parts)
-
-    @ray.remote
-    def run_part(tbl):
-        if tbl is None or tbl.num_rows == 0:
-            return None
-        return per_partition(tbl)
-
-    refs = [run_part.remote(p) for p in parts]
-    refs = [r for r in refs if ray.get(r) is not None]
-    return ray.data.from_arrow_refs(refs)
+    return exchange.partitions_to_dataset(parts, per_partition)
 
 
 def asof_join_events(ds, left_type: str = "purchase", right_type: str = "view",
@@ -244,6 +238,9 @@ def asof_join_events(ds, left_type: str = "purchase", right_type: str = "view",
     slim = ds.map_batches(project, batch_format="pyarrow")
 
     def per_partition(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"purchase_id": pa.array([], pa.int64()),
+                             "view_id": pa.array([], pa.int64())})
         df = tbl.to_pandas()
         left = df[df["is_left"]].sort_values(["ts_us", "event_id"])
         right = (
@@ -264,25 +261,8 @@ def asof_join_events(ds, left_type: str = "purchase", right_type: str = "view",
              "view_id": m["event_id_r"].to_numpy(dtype=np.int64)}
         )
 
-    import ray
-    import ray.data
-
     parts = exchange.hash_exchange(slim, "user_id", num_parts)
-
-    @ray.remote
-    def run_part(tbl):
-        if tbl is None or tbl.num_rows == 0:
-            return None
-        return per_partition(tbl)
-
-    refs = [run_part.remote(p) for p in parts]
-    refs = [r for r in refs if ray.get(r) is not None]
-    if not refs:
-        return ray.data.from_arrow(
-            pa.table({"purchase_id": pa.array([], pa.int64()),
-                      "view_id": pa.array([], pa.int64())})
-        )
-    return ray.data.from_arrow_refs(refs)
+    return exchange.partitions_to_dataset(parts, per_partition)
 
 
 def window_counts(ds):

@@ -11,6 +11,23 @@ Everything is zero-copy Arrow through the object store; the reduce output
 is re-wrapped as a Dataset via from_arrow_refs so downstream stays in the
 Dataset API.
 
+Driver discipline (the 100 TB rules):
+  * ALL split tasks are submitted before any result is awaited — the map
+    side of the shuffle is fully parallel (static num_returns=P, so
+    submission itself never blocks on task completion).
+  * The driver never `ray.get`s a partition payload.  Tasks that need
+    empty-partition filtering return ``(table_ref, nrows_ref)`` via
+    ``num_returns=2``; only the tiny int refs are fetched.
+  * Every partition table — including empty ones — carries the full input
+    schema (slices of the schema-ful source block), so downstream joins /
+    from_arrow_refs never see inconsistent block schemas.
+
+Key hashing is deterministic ACROSS PROCESSES: integer keys use a
+multiplicative hash; string/bytes/other keys use pandas' keyed siphash
+(`pd.util.hash_array`, fixed key) — NOT Python's builtin `hash`, whose
+PYTHONHASHSEED randomization would route the same key to different
+partitions in different Ray workers.
+
 Skew handling (north_rule "salting for hot cells"): `salted_key` spreads a
 configurable hot-key set over SALT sub-keys on the map side; mergeable
 aggregations un-salt in a second tiny pass.  For joins, hot LEFT keys are
@@ -24,13 +41,20 @@ import numpy as np
 import pyarrow as pa
 
 
+def _hash_keys(k: np.ndarray) -> np.ndarray:
+    """uint64 hash of a key array, deterministic across processes."""
+    if k.dtype.kind in "iu":
+        return (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+    # strings / bytes / mixed: pandas keyed siphash (fixed key, no
+    # PYTHONHASHSEED dependence — safe for cross-worker co-partitioning)
+    import pandas as pd
+
+    return pd.util.hash_array(np.asarray(k, dtype=object), categorize=False)
+
+
 def _hash_part(table: pa.Table, key_col: str, num_parts: int) -> list[pa.Table]:
     k = table[key_col].to_numpy(zero_copy_only=False)
-    # multiplicative hash on int64/uint64 keys (strings: hash of bytes)
-    if k.dtype.kind in "iu":
-        h = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
-    else:
-        h = np.array([hash(x) & 0xFFFFFF for x in k], dtype=np.uint64)
+    h = _hash_keys(k)
     part = (h % np.uint64(num_parts)).astype(np.int64)
     order = np.argsort(part, kind="stable")
     sorted_tbl = table.take(pa.array(order))
@@ -40,57 +64,84 @@ def _hash_part(table: pa.Table, key_col: str, num_parts: int) -> list[pa.Table]:
 
 def hash_exchange(ds, key_col: str, num_parts: int):
     """Dataset -> list of per-partition ObjectRef[pa.Table] (co-partitioned
-    by hash(key) % num_parts)."""
+    by hash(key) % num_parts).  Every ref is a schema-ful Arrow table
+    (possibly 0 rows); nothing is pulled to the driver."""
     import ray
 
-    @ray.remote(num_returns="dynamic")
+    @ray.remote
     def split(block: pa.Table):
-        for t in _hash_part(block, key_col, num_parts):
-            yield t
+        parts = _hash_part(block, key_col, num_parts)
+        return parts[0] if num_parts == 1 else tuple(parts)
 
     @ray.remote
     def concat(*shards):
-        shards = [s for s in shards if s.num_rows > 0]
-        if not shards:
-            return None
         return pa.concat_tables(shards, promote_options="default")
 
     block_refs = ds.to_arrow_refs()
-    shard_lists = [list(ray.get(split.remote(b))) for b in block_refs]
-    parts = []
-    for p in range(num_parts):
-        parts.append(concat.remote(*[sl[p] for sl in shard_lists]))
-    return parts
+    # static num_returns: submission returns refs immediately — no blocking,
+    # all map tasks in flight before the first reduce is scheduled
+    split_n = split.options(num_returns=num_parts) if num_parts > 1 else split
+    shard_lists = [split_n.remote(b) for b in block_refs]
+    if num_parts == 1:
+        shard_lists = [[r] for r in shard_lists]
+    return [concat.remote(*[sl[p] for sl in shard_lists]) for p in range(num_parts)]
 
 
-def hash_join(left_ds, right_ds, key_col: str, num_parts: int = 32, how: str = "inner"):
-    """Hash-partitioned equi-join of two Datasets on key_col -> Dataset.
-
-    Both sides exchanged with the same partitioner; per-partition joins run
-    as parallel Ray tasks (pyarrow join).  For broadcast-sized right sides
-    prefer the broadcast pattern (stages/pip.py) — this is the both-sides-
-    large path."""
+def partitions_to_dataset(parts, fn=None):
+    """Apply `fn` (pa.Table -> pa.Table, or None for identity) to each
+    partition ref as a parallel Ray task and wrap the non-empty results as
+    a Dataset.  Empty partitions are dropped using tiny row-count refs —
+    the driver never fetches a payload.  If everything is empty, one empty
+    (schema-ful) table is kept so the Dataset has a stable schema."""
     import ray
     import ray.data
 
-    left_parts = hash_exchange(left_ds, key_col, num_parts)
-    right_parts = hash_exchange(right_ds, key_col, num_parts)
+    @ray.remote(num_returns=2)
+    def apply(tbl: pa.Table):
+        out = fn(tbl) if fn is not None else tbl
+        return out, out.num_rows
 
-    @ray.remote
-    def join_part(lt, rt):
-        if lt is None or (how == "inner" and rt is None):
-            return None
-        if rt is None:
-            rt_schema_empty = None
-            return lt if how in ("left", "left outer") else None
-        return lt.join(rt, keys=key_col, join_type=how)
-
-    out = [join_part.remote(l, r) for l, r in zip(left_parts, right_parts)]
-    refs = [r for r in out if ray.get(r) is not None]
+    pairs = [apply.remote(p) for p in parts]
+    counts = ray.get([n for _, n in pairs])
+    refs = [t for (t, _), n in zip(pairs, counts) if n > 0]
     if not refs:
-        import pyarrow as _pa
+        refs = [pairs[0][0]]
+    return ray.data.from_arrow_refs(refs)
 
-        return ray.data.from_arrow(_pa.table({key_col: []}))
+
+def hash_join(left_ds, right_ds, key_col: str, num_parts: int = 32,
+              how: str = "inner", right_on: str | None = None):
+    """Hash-partitioned equi-join of two Datasets -> Dataset.
+
+    Joins left.key_col == right.(right_on or key_col).  Both sides are
+    exchanged with the same partitioner; per-partition pyarrow joins run as
+    parallel Ray tasks.  Empty partitions still produce the full joined
+    schema (pyarrow joins of schema-ful empty tables), so every output
+    block is schema-identical.  For broadcast-sized right sides prefer the
+    broadcast pattern (stages/pip.py) — this is the both-sides-large path."""
+    rk = right_on or key_col
+    join_type = {"inner": "inner", "left": "left outer"}.get(how, how)
+    left_parts = hash_exchange(left_ds, key_col, num_parts)
+    right_parts = hash_exchange(right_ds, rk, num_parts)
+
+    def join_part(pair):
+        lt, rt = pair
+        return lt.join(rt, keys=key_col, right_keys=rk, join_type=join_type)
+
+    import ray
+
+    @ray.remote(num_returns=2)
+    def run(lt, rt):
+        out = join_part((lt, rt))
+        return out, out.num_rows
+
+    import ray.data
+
+    pairs = [run.remote(l, r) for l, r in zip(left_parts, right_parts)]
+    counts = ray.get([n for _, n in pairs])
+    refs = [t for (t, _), n in zip(pairs, counts) if n > 0]
+    if not refs:
+        refs = [pairs[0][0]]
     return ray.data.from_arrow_refs(refs)
 
 

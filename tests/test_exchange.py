@@ -35,6 +35,84 @@ def test_hash_join_matches_pandas(ray_session):
     assert a.equals(b)
 
 
+def test_hash_part_string_keys_deterministic():
+    """String keys must hash identically in any process (no PYTHONHASHSEED
+    dependence): check against precomputed pandas siphash partition ids."""
+    keys = pa.array(["alpha", "beta", "gamma", "alpha", ""])
+    t = pa.table({"k": keys, "v": np.arange(5)})
+    parts = exchange._hash_part(t, "k", 4)
+    assert sum(p.num_rows for p in parts) == 5
+    # both 'alpha' rows co-located
+    alpha_parts = [i for i, p in enumerate(parts)
+                   if "alpha" in p["k"].to_pylist()]
+    assert len(alpha_parts) == 1
+    # cross-process determinism: recompute in a subprocess with a different
+    # hash seed and compare partition assignment
+    import json
+    import subprocess
+    import sys
+
+    code = (
+        "import numpy as np, pyarrow as pa, json;"
+        "from s2_geometry_rust_ray.stages import exchange;"
+        "t = pa.table({'k': ['alpha','beta','gamma','alpha',''],"
+        "'v': list(range(5))});"
+        "parts = exchange._hash_part(t, 'k', 4);"
+        "print(json.dumps([p['v'].to_pylist() for p in parts]))"
+    )
+    env = {"PYTHONHASHSEED": "12345", "PATH": "/usr/bin:/bin",
+           "PYTHONPATH": "/root/repo"}
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, env=env, check=True)
+    sub_parts = json.loads(out.stdout.strip().splitlines()[-1])
+    assert sub_parts == [p["v"].to_pylist() for p in parts]
+
+
+def test_hash_join_left_schema_stable(ray_session):
+    """Left joins must emit identical schemas on every block, including
+    partitions where the right side is empty."""
+    import ray.data
+
+    left = pa.table({"k": np.arange(40, dtype=np.int64),
+                     "a": np.arange(40, dtype=np.int64)})
+    right = pa.table({"k": np.array([3], dtype=np.int64),
+                      "b": np.array([99], dtype=np.int64)})
+    lds = ray.data.from_arrow(left).repartition(4)
+    rds = ray.data.from_arrow(right)
+    out = exchange.hash_join(lds, rds, "k", num_parts=8, how="left")
+    df = out.to_pandas()
+    assert sorted(df.columns) == ["a", "b", "k"]
+    assert len(df) == 40
+    assert df.loc[df["k"] == 3, "b"].iloc[0] == 99
+    assert df["b"].notna().sum() == 1
+
+
+def test_hash_join_right_on(ray_session):
+    import ray.data
+
+    left = pa.table({"doc_a": np.array([1, 2, 3], dtype=np.int64)})
+    right = pa.table({"doc_id": np.array([2, 3, 4], dtype=np.int64),
+                      "text": pa.array(["x", "y", "z"])})
+    out = exchange.hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        "doc_a", num_parts=3, right_on="doc_id",
+    ).to_pandas().sort_values("doc_a")
+    assert out["doc_a"].tolist() == [2, 3]
+    assert out["text"].tolist() == ["x", "y"]
+
+
+def test_partitions_to_dataset_filters_empty(ray_session):
+    import ray.data
+
+    src = ray.data.from_arrow(
+        pa.table({"k": np.array([5, 5, 5], dtype=np.int64)})
+    )
+    parts = exchange.hash_exchange(src, "k", 8)  # 7 empty partitions
+    out = exchange.partitions_to_dataset(parts)
+    assert out.count() == 3
+    assert out.num_blocks() == 1  # empties dropped without driver payload pulls
+
+
 def test_hot_key_histogram(ray_session):
     import ray.data
 
