@@ -255,7 +255,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value "
             "FROM events GROUP BY 1, 2"
         ),
-        # doc_quality / doc_near_dup_pairs / doc_fingerprints / ann_cosine_topk:
+        "doc_near_dup_pairs": osql.q_near_dup_pairs(),
+        # doc_quality / doc_fingerprints / ann_cosine_topk:
         # deliberately no SQL oracle (heuristic / hash-pipeline / float-reduction
         # ops are not SQL-reproducible bit-exactly) -> driver rows-only check;
         # the pytest suite holds their brute-force oracles.

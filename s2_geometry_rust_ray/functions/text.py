@@ -33,17 +33,21 @@ def char_count(texts: pd.Series) -> np.ndarray:
     return texts.str.len().to_numpy(dtype=np.int64)
 
 
+# one alternation regex == "token in STOPWORDS": a stopword counts iff not
+# adjacent to another token char (exactly the [A-Za-z0-9]+ tokenization)
+_STOPWORD_RE = re.compile(
+    r"(?<![a-z0-9])(?:" + "|".join(sorted(STOPWORDS)) + r")(?![a-z0-9])"
+)
+
+
 def quality_score(texts: pd.Series) -> np.ndarray:
     """Heuristic quality in [0,1]: penalize very short docs, high punct
     ratio, low stopword ratio (rows-only check; not SQL-mirrored)."""
     n = texts.str.len().to_numpy(dtype=np.float64)
     n = np.maximum(n, 1.0)
     punct = texts.str.count(r"[^\w\s]").to_numpy(dtype=np.float64)
-    words = texts.str.findall(TOKEN_RE)
-    stop = words.map(lambda ws: sum(1 for w in ws if w.lower() in STOPWORDS)).to_numpy(
-        dtype=np.float64
-    )
-    nw = np.maximum(words.str.len().to_numpy(dtype=np.float64), 1.0)
+    stop = texts.str.lower().str.count(_STOPWORD_RE).to_numpy(dtype=np.float64)
+    nw = np.maximum(texts.str.count(TOKEN_RE).to_numpy(dtype=np.float64), 1.0)
     len_score = np.clip(n / 200.0, 0.0, 1.0)
     punct_score = 1.0 - np.clip(punct / n * 4.0, 0.0, 1.0)
     stop_score = np.clip(stop / nw * 4.0, 0.0, 1.0)
@@ -86,25 +90,24 @@ def md5_hash64(texts: pd.Series) -> np.ndarray:
 
 def fingerprint(texts: pd.Series, window: int = 8) -> np.ndarray:
     """Winnowing-style document fingerprint: min of rolling hashes of
-    character windows (rows-only check)."""
+    character windows (rows-only check).
+
+    Vectorized: all window hashes h[j] = sum_t byte[j+t] * B^(w-1-t)
+    (mod 2^64, numpy wraparound) computed at once via a sliding-window
+    view — no per-byte Python loop."""
     out = np.empty(len(texts), dtype=np.int64)
     B = np.uint64(1000003)
-    for i, t in enumerate(texts):
-        b = str(t).encode("utf-8")
-        if len(b) < window:
-            out[i] = md5_hash64(pd.Series([t]))[0]
-            continue
-        arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
-        h = np.zeros(len(arr) - window + 1, dtype=np.uint64)
-        acc = np.uint64(0)
-        pw = B ** np.uint64(window - 1)
-        for j in range(window):
-            acc = acc * B + arr[j]
-        h[0] = acc
-        for j in range(1, len(h)):
-            acc = (acc - arr[j - 1] * pw) * B + arr[j + window - 1]
-            h[j] = acc
-        out[i] = np.int64(h.min().astype(np.int64))
+    powers = B ** np.arange(window - 1, -1, -1, dtype=np.uint64)  # B^(w-1)..B^0
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(texts):
+            b = str(t).encode("utf-8")
+            if len(b) < window:
+                out[i] = md5_hash64(pd.Series([t]))[0]
+                continue
+            arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+            v = np.lib.stride_tricks.sliding_window_view(arr, window)
+            h = (v * powers[None, :]).sum(axis=1, dtype=np.uint64)
+            out[i] = h.min().astype(np.int64)
     return out
 
 
@@ -116,19 +119,48 @@ def shingles(text: str, k: int = 5) -> set[str]:
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
-def minhash_signature(text: str, num_hashes: int = 32, k: int = 5) -> np.ndarray:
-    """MinHash over md5-hashed shingles: permutation h_i = md5(f"{i}|{s}")
-    (md5-based so a DuckDB oracle can reproduce it exactly)."""
+# MinHash permutation domain: the Mersenne prime 2^31-1.  Shingles are
+# md5-hashed ONCE to u64, reduced mod p, then run through num_hashes
+# universal-hash permutations h_i(x) = (a_i*x + b_i) mod p — all values
+# < 2^31 so every product fits in 64 bits in BOTH numpy (uint64) and
+# DuckDB (BIGINT/UBIGINT), making the whole pipeline SQL-reproducible
+# bit-exactly (see oracle/sql.py q_near_dup_pairs).
+MINHASH_P = 2147483647  # 2^31 - 1
+
+
+def minhash_consts(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic permutation constants, reproducible in SQL as
+    a_i = (i*2654435761 + 1) % p, b_i = (i*40503 + 17) % p."""
+    i = np.arange(num_hashes, dtype=np.uint64)
+    p = np.uint64(MINHASH_P)
+    a = (i * np.uint64(2654435761) + np.uint64(1)) % p
+    b = (i * np.uint64(40503) + np.uint64(17)) % p
+    assert (a != 0).all(), "degenerate permutation multiplier"
+    return a, b
+
+
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Distinct shingles md5-hashed to uint64 (first 16 hex chars).
+    Oracle twin: ('0x' || substr(md5(s),1,16))::UBIGINT."""
     sh = shingles(text, k)
-    sig = np.full(num_hashes, np.iinfo(np.uint64).max, dtype=np.uint64)
-    if not sh:
-        return sig.view(np.int64)
-    for s in sh:
-        for i in range(num_hashes):
-            h = int(hashlib.md5(f"{i}|{s}".encode("utf-8")).hexdigest()[:16], 16)
-            if h < sig[i]:
-                sig[i] = h
-    return sig.view(np.int64)
+    return np.array(
+        [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16) for s in sh],
+        dtype=np.uint64,
+    )
+
+
+def minhash_signature(text: str, num_hashes: int = 32, k: int = 5) -> np.ndarray:
+    """MinHash signature (uint64 values < 2^31): one md5 per distinct
+    shingle, then num_hashes vectorized universal-hash permutations over
+    GF(2^31-1) — no per-(shingle x hash) Python loop.  Empty shingle sets
+    return the sentinel p (impossible hash value)."""
+    p = np.uint64(MINHASH_P)
+    x = shingle_hashes(text, k) % p
+    if len(x) == 0:
+        return np.full(num_hashes, p, dtype=np.uint64)
+    a, b = minhash_consts(num_hashes)
+    h = (x[:, None] * a[None, :] + b[None, :]) % p  # (shingles, hashes)
+    return h.min(axis=0)
 
 
 def jaccard(a: set, b: set) -> float:

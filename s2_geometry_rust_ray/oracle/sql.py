@@ -161,3 +161,77 @@ def q_face_histogram(src_sql: str, key_expr: str) -> str:
         + """
   SELECT face, count(*) AS n FROM __fuv GROUP BY 1"""
     )
+
+
+def q_near_dup_pairs(num_hashes: int = 32, band_size: int = 4,
+                     threshold: float = 0.5) -> str:
+    """Full SQL twin of pipelines/textops.near_dup_pairs over `documents`:
+    shingle -> md5 -> universal-hash minhash (mod 2^31-1) -> bands ->
+    bucket self-join -> exact Jaccard >= threshold.  Every arithmetic step
+    stays below 2^62, so BIGINT math matches the engine's uint64 math
+    exactly; jaccard is one IEEE division of exact integers (bit-exact)."""
+    p = 2147483647
+    k = 5  # word shingle width (functions/text.shingles default)
+    return f"""WITH toks AS (
+    SELECT doc_id,
+           list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                          t -> lower(t)) AS w
+    FROM documents
+  ),
+  shing AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - {k - 2}),
+                                 i -> array_to_string(w[i:i+{k - 1}], ' '))) AS s
+    FROM toks WHERE len(w) >= {k}
+    UNION ALL
+    SELECT doc_id, array_to_string(w, ' ') AS s
+    FROM toks WHERE len(w) BETWEEN 1 AND {k - 1}
+  ),
+  sh AS (SELECT DISTINCT doc_id, s FROM shing),
+  hx AS (
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(s), 1, 16)) AS UBIGINT)
+                % {p} AS BIGINT) AS x
+    FROM sh
+  ),
+  sig AS (
+    SELECT doc_id, ii.i AS i,
+           min((((ii.i * 2654435761 + 1) % {p}) * x
+                + ((ii.i * 40503 + 17) % {p})) % {p}) AS h
+    FROM hx CROSS JOIN (SELECT unnest(range(0, {num_hashes})) AS i) ii
+    GROUP BY 1, 2
+  ),
+  bandsig AS (
+    SELECT doc_id, i // {band_size} AS b,
+           string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS chunk
+    FROM sig GROUP BY 1, 2
+  ),
+  buckets AS (
+    SELECT doc_id,
+           substr(md5(CAST(b AS VARCHAR) || ':' || chunk), 1, 16) AS bucket
+    FROM bandsig
+  ),
+  cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM buckets x JOIN buckets y USING (bucket)
+    WHERE x.doc_id < y.doc_id
+  ),
+  inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+    GROUP BY 1, 2
+  ),
+  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+  scored AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / CAST(za.n + zb.n - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard
+    FROM cand c
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  )
+  SELECT doc_a, doc_b, jaccard FROM scored
+  WHERE jaccard >= {flit(threshold)}"""

@@ -78,67 +78,106 @@ def exact_dedup(ds, final: str = "single"):
     )
 
 
-def near_dup_pairs(ds, num_hashes: int = 32, band_size: int = 4, threshold: float = 0.5):
+def _rename_col(old: str, new: str):
+    def fn(t: pa.Table) -> pa.Table:
+        return t.rename_columns([new if c == old else c for c in t.column_names])
+
+    return fn
+
+
+def near_dup_pairs(ds, num_hashes: int = 32, band_size: int = 4,
+                   threshold: float = 0.5, num_parts: int = 16):
     """MinHash-LSH near-duplicate pairs: (doc_a, doc_b, jaccard).
 
-    shingle(5-gram words) -> 32 md5-minhashes -> 8 bands of 4 -> bucket
-    groupby -> candidate pairs -> exact Jaccard verify >= threshold.
-    The band groupby is the only exchange; candidate verification re-reads
-    only the candidate docs' shingles (recomputed — cheaper than shipping
-    shingle sets through the shuffle at scale).
-    Rows-only driver check; the pytest oracle is brute-force O(n^2) Jaccard.
-    """
+    shingle(5-gram words) -> md5 per distinct shingle -> num_hashes
+    universal-hash permutations mod 2^31-1 (vectorized; see
+    functions/text.minhash_signature) -> bands -> bucket hash-exchange ->
+    per-bucket candidate pairs -> pair-keyed dedup exchange -> hash-join
+    texts back by doc id -> exact Jaccard verify >= threshold.
+
+    Scale path: NOTHING is materialized on the driver.  The band exchange
+    carries (doc_id, 16-hex bucket) rows only; candidate pairs are deduped
+    distributed (co-located by hash(doc_a) — identical pairs share doc_a);
+    candidate texts arrive via two hash-partitioned equi-joins against the
+    documents table (stages/exchange.hash_join), so each partition holds
+    only its own candidates' texts.  jaccard = n_inter/n_union is a single
+    IEEE division of exact integers => bit-exact vs the DuckDB oracle
+    (oracle/sql.q_near_dup_pairs mirrors the full LSH pipeline)."""
+    from ..stages import exchange
+
     n_bands = num_hashes // band_size
+    sentinel = np.uint64(T.MINHASH_P)
 
     def band_stage(batch: pd.DataFrame) -> pd.DataFrame:
-        rows_doc, rows_band, rows_bucket = [], [], []
+        out_doc, out_bucket = [], []
         for doc_id, txt in zip(batch["doc_id"], batch["text"]):
-            sig = T.minhash_signature(str(txt), num_hashes).view(np.uint64)
+            sig = T.minhash_signature(str(txt), num_hashes)
+            if sig[0] == sentinel:  # no shingles -> cannot near-dup
+                continue
             for b in range(n_bands):
                 chunk = sig[b * band_size : (b + 1) * band_size]
                 bucket = hashlib.md5(
-                    (str(b) + ":" + ",".join(map(str, chunk))).encode()
+                    (str(b) + ":" + ",".join(str(int(c)) for c in chunk)).encode()
                 ).hexdigest()[:16]
-                rows_doc.append(doc_id)
-                rows_band.append(b)
-                rows_bucket.append(bucket)
-        return pd.DataFrame(
-            {"doc_id": rows_doc, "band": rows_band, "bucket": rows_bucket}
-        )
+                out_doc.append(doc_id)
+                out_bucket.append(bucket)
+        return pd.DataFrame({"doc_id": out_doc, "bucket": out_bucket})
 
     bands = ds.map_batches(band_stage, batch_format="pandas")
-    # bucket -> candidate pairs (per bucket, all pairs of docs)
-    sorted_bands = bands.sort("bucket")
+    bucket_parts = exchange.hash_exchange(bands, "bucket", num_parts)
 
-    def pairs_stage(batch: pd.DataFrame) -> pd.DataFrame:
+    def pairs_in_partition(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        df = tbl.to_pandas()
         out_a, out_b = [], []
-        for _, grp in batch.groupby("bucket"):
+        for _, grp in df.groupby("bucket", sort=False):
             ids = np.unique(grp["doc_id"].to_numpy())
-            if len(ids) > 1:
-                for i in range(len(ids)):
-                    for j in range(i + 1, len(ids)):
-                        out_a.append(ids[i])
-                        out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        if not out_a:
+            return empty
+        t = pa.table({"doc_a": np.asarray(out_a, dtype=np.int64),
+                      "doc_b": np.asarray(out_b, dtype=np.int64)})
+        return t.group_by(["doc_a", "doc_b"]).aggregate([]).sort_by("doc_a")
 
-    # NOTE: buckets straddling block boundaries are handled by the final
-    # repartition(1) dedup below at this scale; the 100 TB path uses
-    # final='sorted' semantics (second sort round) like stages/agg.py.
-    cand = sorted_bands.map_batches(pairs_stage, batch_format="pandas")
-    cand = cand.repartition(1).map_batches(
-        lambda b: b.drop_duplicates(), batch_format="pandas"
-    )
-    # verify with exact jaccard: broadcast the texts of candidate docs only
-    texts = {r["doc_id"]: r["text"] for r in ds.select_columns(["doc_id", "text"]).take_all()}
+    cand = exchange.partitions_to_dataset(bucket_parts, pairs_in_partition)
+    # global pair dedup: a pair found in several bands may land in several
+    # bucket partitions; co-locate by hash(doc_a) (identical pairs share
+    # doc_a) and drop duplicates per partition — stays distributed
+    pair_parts = exchange.hash_exchange(cand, "doc_a", num_parts)
+
+    def dedup_part(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        return tbl.group_by(["doc_a", "doc_b"]).aggregate([])
+
+    cand = exchange.partitions_to_dataset(pair_parts, dedup_part)
+
+    # fetch candidate texts via hash-partitioned joins (never broadcast)
+    docs = ds.select_columns(["doc_id", "text"])
+    j1 = exchange.hash_join(cand, docs, "doc_a", num_parts=num_parts,
+                            right_on="doc_id")
+    j1 = j1.map_batches(_rename_col("text", "text_a"), batch_format="pyarrow")
+    j2 = exchange.hash_join(j1, docs, "doc_b", num_parts=num_parts,
+                            right_on="doc_id")
+    j2 = j2.map_batches(_rename_col("text", "text_b"), batch_format="pyarrow")
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        ja = []
-        for a, b in zip(batch["doc_a"], batch["doc_b"]):
-            ja.append(T.jaccard(T.shingles(str(texts[a])), T.shingles(str(texts[b]))))
-        batch = batch.assign(jaccard=np.round(ja, 6))
-        return batch[batch["jaccard"] >= threshold]
+        ja = np.empty(len(batch), dtype=np.float64)
+        for n, (ta, tb) in enumerate(zip(batch["text_a"], batch["text_b"])):
+            sa, sb = T.shingles(str(ta)), T.shingles(str(tb))
+            union = len(sa | sb)
+            ja[n] = len(sa & sb) / union if union else 1.0
+        out = batch.assign(jaccard=ja)
+        out = out[out["jaccard"] >= threshold]
+        return out[["doc_a", "doc_b", "jaccard"]]
 
-    return cand.map_batches(verify, batch_format="pandas")
+    return j2.map_batches(verify, batch_format="pandas")
 
 
 def fingerprints(ds):
