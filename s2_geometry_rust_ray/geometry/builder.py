@@ -92,36 +92,54 @@ class Builder:
 
     def build_loops(self) -> list[np.ndarray]:
         """Chain directed edges into closed loops; returns lat/lng vertex
-        arrays (m, 2).  Raises if edges don't form closed chains."""
+        arrays (m, 2).  Raises if edges don't form closed chains.
+
+        Assembly is Hierholzer's circuit algorithm followed by simple-cycle
+        decomposition (split the circuit at repeated vertices), so edge
+        soups whose loops SHARE a vertex — where a greedy walk could
+        dead-end depending on insertion order — always assemble, matching
+        C++ S2Builder's deterministic graph assembly."""
         edges = self._cleaned_edges()
         if not edges:
             return []
         out_map: dict[tuple, list[tuple]] = {}
         for a, b in edges:
             out_map.setdefault(a, []).append(b)
-        used = set()
-        loops = []
-        for k in range(len(edges)):
-            a, b = edges[k]
-            if (a, b) in used:
-                continue
-            used.add((a, b))
-            chain = [a]
-            cur = b
-            guard = 0
-            while cur != a and guard <= len(edges):
-                chain.append(cur)
-                nxts = [n for n in out_map.get(cur, []) if (cur, n) not in used]
-                if not nxts:
-                    raise ValueError(f"open chain at vertex {cur}")
-                nxt = nxts[0]
-                used.add((cur, nxt))
-                cur = nxt
-                guard += 1
-            if cur != a:
-                raise ValueError("unclosed loop")
-            if len(chain) >= 3:
-                loops.append(np.array(chain))
+        for a in out_map:
+            out_map[a].sort()  # deterministic edge choice
+        ptr = {a: 0 for a in out_map}
+        loops: list[np.ndarray] = []
+        for a0 in sorted(out_map):
+            while ptr[a0] < len(out_map[a0]):
+                # Hierholzer: build a closed circuit consuming unused edges
+                stack, circuit = [a0], []
+                while stack:
+                    v = stack[-1]
+                    nxts = out_map.get(v)
+                    if nxts is not None and ptr.setdefault(v, 0) < len(nxts):
+                        stack.append(nxts[ptr[v]])
+                        ptr[v] += 1
+                    else:
+                        circuit.append(stack.pop())
+                circuit.reverse()
+                if circuit[0] != circuit[-1]:
+                    raise ValueError(f"open chain at vertex {circuit[-1]}")
+                # decompose the closed walk into simple cycles at repeated
+                # vertices (two loops touching at a vertex -> two loops)
+                path = [circuit[0]]
+                pos = {circuit[0]: 0}
+                for v in circuit[1:]:
+                    if v in pos:
+                        i = pos[v]
+                        cyc = path[i:]
+                        for u in cyc[1:]:
+                            pos.pop(u, None)
+                        path = path[: i + 1]
+                        if len(cyc) >= 3:
+                            loops.append(np.array(cyc))
+                    else:
+                        pos[v] = len(path)
+                        path.append(v)
         return loops
 
     def build_polygon(self, validate: bool = True) -> Polygon:

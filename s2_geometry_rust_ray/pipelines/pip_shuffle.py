@@ -24,13 +24,29 @@ from ..stages.encode import geotag_and_encode
 U = np.uint64
 
 
-def covering_tiles(layer: dict, level: int, max_cells: int = 128) -> pa.Table:
+def covering_tiles(layer: dict, level: int, max_cells: int = 128,
+                   with_geometry: bool = False) -> pa.Table:
     """Per polygon: the set of level-K tiles overlapping it, from an S2
     covering (coarser covering cells are expanded to their K-descendants,
-    finer ones mapped to their K-ancestor)."""
-    rows_tile, rows_pid = [], []
+    finer ones mapped to their K-ancestor).  With `with_geometry`, each
+    tile row also carries the polygon's pickled geometry so the exchange
+    delivers vertices to exactly the partitions that need them (replication
+    bounded by covering size — never a full-layer broadcast)."""
+    import pickle
+
+    from ..geometry.loop import Polygon
+
+    rows_tile, rows_pid, rows_geom = [], [], []
     cov_opts = RegionCoverer(max_cells=max_cells, max_level=min(30, level + 3))
     for pid, poly in layer.items():
+        geom = (
+            pickle.dumps(
+                poly if isinstance(poly, Polygon)
+                else Polygon.from_loops_latlng_deg(poly)
+            )
+            if with_geometry
+            else None
+        )
         cov = cov_opts.get_covering(PolygonRegion(poly))
         tiles: set[int] = set()
         for c in cov:
@@ -53,17 +69,23 @@ def covering_tiles(layer: dict, level: int, max_cells: int = 128) -> pa.Table:
         for t in sorted(tiles):
             rows_tile.append(np.int64(cellid.to_sort_key(np.array([t], U))[0]))
             rows_pid.append(pid)
-    return pa.table(
-        {"tile": np.array(rows_tile, dtype=np.int64),
-         "polygon_id": pa.array(rows_pid, type=pa.string())}
-    )
+            rows_geom.append(geom)
+    cols = {"tile": np.array(rows_tile, dtype=np.int64),
+            "polygon_id": pa.array(rows_pid, type=pa.string())}
+    if with_geometry:
+        cols["geom"] = pa.array(rows_geom, type=pa.binary())
+    return pa.table(cols)
 
 
 def shuffle_pip_join(ds, key_col: str, layer, level: int = 8, num_parts: int = 16):
     """Equi-join points.cell_lK == covering tile (hash exchange), then exact
     PIP refine per (point, polygon) candidate pair.  Output (key, polygon_id)
-    identical to the broadcast join."""
-    import ray.data
+    identical to the broadcast join.
+
+    The polygon layer is NEVER broadcast or closure-captured: each covering
+    tile row carries its polygon's pickled vertices through the exchange, so
+    a partition receives only the polygons whose tiles hash to it (geometry
+    replication bounded by covering size, independent of cluster width)."""
 
     def encode_points(batch: pa.Table) -> pa.Table:
         batch = geotag_and_encode(key_col)(batch)
@@ -79,32 +101,48 @@ def shuffle_pip_join(ds, key_col: str, layer, level: int = 8, num_parts: int = 1
             }
         )
 
-    points = ds.map_batches(encode_points, batch_format="pyarrow")
-    right = ray.data.from_arrow(covering_tiles(layer, level))
-    joined = exchange.hash_join(points, right, "tile", num_parts=num_parts)
+    import pickle
 
-    # exact refine: vectorized PIP per polygon over its candidate points
+    import ray.data
+
     from ..functions.coords import latlng_deg_to_xyz
-    from ..geometry.loop import Polygon
 
-    polys = {
-        pid: (p if isinstance(p, Polygon) else Polygon.from_loops_latlng_deg(p))
-        for pid, p in layer.items()
-    }
+    points = ds.map_batches(encode_points, batch_format="pyarrow")
+    right = ray.data.from_arrow(covering_tiles(layer, level, with_geometry=True))
+    point_parts = exchange.hash_exchange(points, "tile", num_parts)
+    tile_parts = exchange.hash_exchange(right, "tile", num_parts)
 
-    def refine(batch: pa.Table) -> pa.Table:
-        lat = batch["lat"].to_numpy(zero_copy_only=False)
-        lng = batch["lng"].to_numpy(zero_copy_only=False)
+    def refine_part(pt: pa.Table, tt: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {key_col: pa.array([], pt.schema.field(key_col).type),
+             "polygon_id": pa.array([], pa.string())}
+        )
+        if pt.num_rows == 0 or tt.num_rows == 0:
+            return empty
+        # geometry arrives with the tile rows; deserialize once per polygon
+        pids_t = tt["polygon_id"].to_pylist()
+        geoms = tt["geom"].to_pylist()
+        polys = {}
+        for pid, g in zip(pids_t, geoms):
+            if pid not in polys:
+                polys[pid] = pickle.loads(g)
+        cand = pt.join(tt.select(["tile", "polygon_id"]), keys="tile",
+                       join_type="inner")
+        if cand.num_rows == 0:
+            return empty
+        lat = cand["lat"].to_numpy(zero_copy_only=False)
+        lng = cand["lng"].to_numpy(zero_copy_only=False)
         x, y, z = latlng_deg_to_xyz(lat, lng)
         pts = np.stack([x, y, z], axis=-1)
-        pids = np.asarray(batch["polygon_id"].to_pylist(), dtype=object)
-        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        pids = np.asarray(cand["polygon_id"].to_pylist(), dtype=object)
+        keys = cand[key_col].to_numpy(zero_copy_only=False)
         keep = np.zeros(len(keys), dtype=bool)
         for pid in np.unique(pids):
             m = pids == pid
             keep[m] = polys[pid].contains_points(pts[m])
         return pa.table(
-            {key_col: keys[keep], "polygon_id": pa.array(pids[keep], type=pa.string())}
+            {key_col: keys[keep],
+             "polygon_id": pa.array(pids[keep], type=pa.string())}
         )
 
-    return joined.map_batches(refine, batch_format="pyarrow")
+    return exchange.zip_partitions_to_dataset(point_parts, tile_parts, refine_part)

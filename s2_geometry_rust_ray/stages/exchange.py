@@ -109,6 +109,27 @@ def partitions_to_dataset(parts, fn=None):
     return ray.data.from_arrow_refs(refs)
 
 
+def zip_partitions_to_dataset(parts_a, parts_b, fn):
+    """Apply `fn(table_a, table_b) -> table` pairwise over two co-partitioned
+    exchanges and wrap non-empty results as a Dataset (count-ref filtering,
+    no driver payload pulls).  The generic primitive behind partition-local
+    joins that need custom refine logic."""
+    import ray
+    import ray.data
+
+    @ray.remote(num_returns=2)
+    def apply(ta: pa.Table, tb: pa.Table):
+        out = fn(ta, tb)
+        return out, out.num_rows
+
+    pairs = [apply.remote(a, b) for a, b in zip(parts_a, parts_b)]
+    counts = ray.get([n for _, n in pairs])
+    refs = [t for (t, _), n in zip(pairs, counts) if n > 0]
+    if not refs:
+        refs = [pairs[0][0]]
+    return ray.data.from_arrow_refs(refs)
+
+
 def hash_join(left_ds, right_ds, key_col: str, num_parts: int = 32,
               how: str = "inner", right_on: str | None = None):
     """Hash-partitioned equi-join of two Datasets -> Dataset.

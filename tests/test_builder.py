@@ -87,3 +87,25 @@ def test_polyline_layer():
     b.add_edge_latlng((0, 10), (10, 5))
     lines = b.build_polylines()
     assert len(lines) == 1 and len(lines[0]) == 3
+
+
+def test_loops_sharing_a_vertex_assemble():
+    """Two triangles touching at (0,0): a greedy walk can dead-end at the
+    branch vertex; Hierholzer assembly must split them into two loops
+    regardless of edge insertion order."""
+    import itertools
+
+    tri1 = [(0.0, 0.0), (0.0, 5.0), (5.0, 2.0)]
+    tri2 = [(0.0, 0.0), (-5.0, -2.0), (0.0, -5.0)]
+    edges = [(tri1[i], tri1[(i + 1) % 3]) for i in range(3)] + [
+        (tri2[i], tri2[(i + 1) % 3]) for i in range(3)
+    ]
+    for perm in itertools.islice(itertools.permutations(range(6)), 0, 720, 37):
+        b = Builder()
+        for e in perm:
+            b.add_edge_latlng(*edges[e])
+        loops = b.build_loops()
+        assert sorted(len(l) for l in loops) == [3, 3]
+        vertex_sets = sorted(sorted(map(tuple, l)) for l in loops)
+        want = sorted([sorted(tri1), sorted(tri2)])
+        assert vertex_sets == want
