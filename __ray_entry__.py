@@ -165,7 +165,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         queries = rng.normal(size=(10, 64)).astype("float32")
         return simsearch.ann_topk(ds, queries, np.arange(10), k=10)
 
+    def q_within(sf_dir: str):
+        ds = _read(sf_dir, "documents", columns=["doc_id"])
+        return ppip.within_distance_join(ds, "doc_id", radius_deg=1.5)
+
+    def q_loop_measures(sf_dir: str):
+        from s2_geometry_rust_ray.pipelines import measures as pmeasures
+
+        return pmeasures.loop_measures(ppip.standard_polygon_layer())
+
     return {
+        "s2_loop_measures": q_loop_measures,
+        "s2_within_join_docs": q_within,
         "s2_cell_encode_docs": q_encode_docs,
         "s2_tile_counts_l8": q_tile_l8,
         "s2_tile_counts_l12": q_tile_l12,
@@ -200,7 +211,21 @@ def oracle_sql() -> dict[str, str]:
     from s2_geometry_rust_ray.pipelines import pip as ppip
 
     layer = ppip.standard_polygon_layer()
+    import math
+
+    from s2_geometry_rust_ray.geometry.cap import chord2_from_radians
+    from s2_geometry_rust_ray.geometry.loop import Polygon as _Polygon
+
+    within_polys = {
+        pid: (p if isinstance(p, _Polygon) else _Polygon.from_loops_latlng_deg(p))
+        for pid, p in layer.items()
+    }
     return {
+        "s2_loop_measures": osql.q_loop_measures(layer),
+        "s2_within_join_docs": pip_sql.q_within_distance_join(
+            DOCS_SRC, "doc_id", within_polys, "doc_id",
+            chord2_from_radians(math.radians(1.5)),
+        ),
         "s2_cell_encode_docs": osql.q_cell_encode(DOCS_SRC, "doc_id", "doc_id"),
         "s2_tile_counts_l8": osql.q_tile_counts(LINEITEM_SRC, "k", 8),
         "s2_tile_counts_l12": osql.q_tile_counts(LINEITEM_SRC, "k", 12),

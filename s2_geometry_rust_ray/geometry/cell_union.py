@@ -22,14 +22,22 @@ def normalize(ids: np.ndarray) -> np.ndarray:
     ids = np.unique(np.asarray(ids, dtype=U))  # sorts
     if ids.size == 0:
         return ids
-    # drop cells contained by a predecessor: after sorting, a cell is
-    # redundant iff its range_max <= running max of previous range_max
+    # drop contained cells IN BOTH DIRECTIONS (canonical Normalize drops
+    # "id contained by output.back()" AND pops "output.back() contained by
+    # id" — an ancestor's id sorts BETWEEN its descendants, so id-order
+    # running-max alone misses descendant-before-ancestor overlaps).
+    # Leaf ranges are nested-or-disjoint, so sorting by (range_min asc,
+    # range_max desc) puts every container before its contents and one
+    # running-max sweep removes all contained cells.
     while True:
+        rmin = cellid.range_min(ids)
         rmax = cellid.range_max(ids)
-        run = np.maximum.accumulate(rmax)
+        order = np.lexsort((~rmax, rmin))
+        rmax_o = rmax[order]
+        run = np.maximum.accumulate(rmax_o)
         keep = np.ones(ids.size, dtype=bool)
-        keep[1:] = rmax[1:] > run[:-1]
-        ids = ids[keep]
+        keep[1:] = rmax_o[1:] > run[:-1]
+        ids = np.sort(ids[order[keep]])
         # merge complete sibling quadruples
         if ids.size < 4:
             return ids
@@ -132,17 +140,42 @@ def difference(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def expand_level(union: np.ndarray, level: int) -> np.ndarray:
-    """Buffer by adding all neighbors at `level` (src/cell_union.rs:427-447)."""
+    """Buffer by one ring of `level`-cells (canonical C++
+    S2CellUnion::Expand(int); port src/cell_union.rs:427-447): cells finer
+    than `level` are REPLACED by their level-`level` parent (so the whole
+    parent is in the output — a finer cell's buffer zone inside its parent
+    must be covered), then every output cell contributes its full ring of
+    level-`level` neighbors."""
     union = normalize(union)
-    extra = []
+    out = []
     for cell in union:
         lv = int(cellid.level(np.array([cell], U))[0])
+        cid = int(cell)
         if lv > level:
-            cell = int(cellid.parent(np.array([cell], U), level)[0])
-        extra.append(cellid.all_neighbors(int(cell), max(level, lv if lv < level else level)))
-    if extra:
-        return normalize(np.concatenate([union] + extra))
-    return union
+            cid = int(cellid.parent(np.array([cell], U), level)[0])
+        out.append(np.array([cid], dtype=U))
+        out.append(cellid.all_neighbors(cid, level))
+    return normalize(np.concatenate(out))
+
+
+def expand_with_radius(union: np.ndarray, radius_rad: float,
+                       max_level_diff: int = 8) -> np.ndarray:
+    """Buffer the union by at least `radius_rad` (canonical C++
+    S2CellUnion::Expand(S1Angle, max_level_diff); the port's variant is
+    src/cell_union.rs:427-467): pick the largest level whose MIN_WIDTH
+    still exceeds the radius (so one ring of neighbors is a sufficient
+    buffer), capped at min_level + max_level_diff to bound blowup, then
+    add all neighbors at that level."""
+    from ..functions import metrics
+
+    union = normalize(np.asarray(union, dtype=U))
+    if union.size == 0 or radius_rad <= 0:
+        return union
+    min_level = int(cellid.level(union).min())
+    radius_level = metrics.level_for_min_width(radius_rad)
+    if radius_level == 0 and radius_rad > metrics.min_width_at_level(0):
+        union = expand_level(union, 0)
+    return expand_level(union, min(min_level + max_level_diff, radius_level))
 
 
 def leaf_cells_covered(union: np.ndarray) -> int:

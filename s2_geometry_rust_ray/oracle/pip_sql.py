@@ -45,12 +45,11 @@ def _edges_values(polys: dict[str, Polygon]) -> str:
     return ", ".join(rows)
 
 
-def q_pip_join(src_sql: str, key_expr: str, polys: dict[str, Polygon], key_name: str) -> str:
-    """(key, polygon_id) inner-join rows: polygons containing each point."""
+def _parity_ctes(polys: dict[str, Polygon]) -> str:
+    """The __edges/__ov/__cross CTE fragment shared by the PIP and
+    within-distance oracles."""
     edges = _edges_values(polys)
-    return (
-        cte_encode(src_sql, key_expr)
-        + f""",
+    return f""",
   __edges(polygon_id, origin_inside, vax, vay, vaz, vbx, vby, vbz, nx, ny, nz, dac)
     AS (VALUES {edges}),
   __ov AS (
@@ -71,11 +70,73 @@ def q_pip_join(src_sql: str, key_expr: str, polys: dict[str, Polygon], key_name:
             AND sign(p.ovx*e.vax + p.ovy*e.vay + p.ovz*e.vaz) <> 0
       THEN 1 ELSE 0 END AS crossed
     FROM __ov p CROSS JOIN __edges e
-  )
-  SELECT key AS {key_name}, polygon_id
+  )"""
+
+
+_PARITY_SELECT = """SELECT key, polygon_id
   FROM __cross
   GROUP BY key, polygon_id, origin_inside
   HAVING ((SUM(crossed) % 2) = 1) <> origin_inside"""
+
+
+def q_pip_join(src_sql: str, key_expr: str, polys: dict[str, Polygon], key_name: str) -> str:
+    """(key, polygon_id) inner-join rows: polygons containing each point."""
+    return (
+        cte_encode(src_sql, key_expr)
+        + _parity_ctes(polys)
+        + f"\n  {_PARITY_SELECT.replace('SELECT key,', f'SELECT key AS {key_name},', 1)}"
+    )
+
+
+def _dist_edges_values(polys: dict[str, Polygon]) -> str:
+    """Per-edge distance constants, lifted from the SAME arrays the engine
+    stage uses (stages/distance.edge_constants)."""
+    from ..stages.distance import edge_constants
+
+    rows = []
+    for pid, poly in polys.items():
+        a, b, n, na, bn, nn = edge_constants(poly)
+        for e in range(len(a)):
+            vals = [
+                flit(v)
+                for v in (
+                    a[e, 0], a[e, 1], a[e, 2], b[e, 0], b[e, 1], b[e, 2],
+                    n[e, 0], n[e, 1], n[e, 2], na[e, 0], na[e, 1], na[e, 2],
+                    bn[e, 0], bn[e, 1], bn[e, 2], nn[e],
+                )
+            ]
+            rows.append(f"('{pid}'," + ",".join(vals) + ")")
+    return ", ".join(rows)
+
+
+def q_within_distance_join(src_sql: str, key_expr: str, polys: dict[str, Polygon],
+                           key_name: str, chord2: float) -> str:
+    """(key, polygon_id) rows for distance(point, polygon region) <= r:
+    crossing-parity containment UNION min-edge-chord^2 <= chord^2(r), both
+    in the engine's exact float expressions (stages/distance.py)."""
+    c2 = flit(chord2)
+    w = "(p.x*e.nx + p.y*e.ny + p.z*e.nz) / sqrt(e.nn)"
+    wclamp = f"GREATEST(-1.0, LEAST(1.0, {w}))"
+    return (
+        cte_encode(src_sql, key_expr)
+        + _parity_ctes(polys)
+        + f""",
+  __dedges(polygon_id, ax, ay, az, bx, by, bz, nx, ny, nz,
+           nax, nay, naz, bnx, bny, bnz, nn) AS (VALUES {_dist_edges_values(polys)}),
+  __edist AS (
+    SELECT p.key, e.polygon_id,
+      min(CASE WHEN (p.x*e.nax + p.y*e.nay + p.z*e.naz) >= 0.0
+                AND (p.x*e.bnx + p.y*e.bny + p.z*e.bnz) >= 0.0
+          THEN 2.0 - 2.0*sqrt(GREATEST(0.0, 1.0 - {wclamp} * {wclamp}))
+          ELSE LEAST(2.0 - 2.0*(p.x*e.ax + p.y*e.ay + p.z*e.az),
+                     2.0 - 2.0*(p.x*e.bx + p.y*e.by + p.z*e.bz)) END) AS d2
+    FROM __xyz p CROSS JOIN __dedges e
+    GROUP BY 1, 2
+  ),
+  __inside AS ({_PARITY_SELECT})
+  SELECT key AS {key_name}, polygon_id FROM __inside
+  UNION
+  SELECT key AS {key_name}, polygon_id FROM __edist WHERE d2 <= {c2}"""
     )
 
 

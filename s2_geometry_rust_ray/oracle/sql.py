@@ -235,3 +235,41 @@ def q_near_dup_pairs(num_hashes: int = 32, band_size: int = 4,
   )
   SELECT doc_a, doc_b, jaccard FROM scored
   WHERE jaccard >= {flit(threshold)}"""
+
+
+def q_loop_measures(layer) -> str:
+    """Recursive-CTE twin of pipelines/measures.loop_measures: per loop,
+    the rational tangent-half-area fold over the SAME vertex float
+    literals, every op in the engine's exact evaluation order (see
+    geometry/measures.tan_half_area_fold)."""
+    from ..pipelines.measures import loop_vertex_table
+
+    tbl = loop_vertex_table(layer)
+    rows = ", ".join(
+        f"('{k}',{i},{flit(x)},{flit(y)},{flit(z)})"
+        for k, i, x, y, z in zip(
+            tbl["loop_key"].to_pylist(), tbl["vidx"].to_pylist(),
+            tbl["x"].to_pylist(), tbl["y"].to_pylist(), tbl["z"].to_pylist(),
+        )
+    )
+    num = ("a.x*(b.y*c.z - b.z*c.y) + a.y*(b.z*c.x - b.x*c.z)"
+           " + a.z*(b.x*c.y - b.y*c.x)")
+    den = ("(1.0 + (a.x*b.x + a.y*b.y + a.z*b.z))"
+           " + ((b.x*c.x + b.y*c.y + b.z*c.z) + (c.x*a.x + c.y*a.y + c.z*a.z))")
+    ti = f"(({num}) / ({den}))"
+    return f"""WITH RECURSIVE verts(loop_key, vidx, x, y, z) AS (VALUES {rows}),
+  nv AS (SELECT loop_key, count(*) AS n FROM verts GROUP BY 1),
+  fold(loop_key, i, t) AS (
+    SELECT loop_key, 1, CAST(0.0 AS DOUBLE) FROM nv
+    UNION ALL
+    SELECT f.loop_key, f.i + 1, (f.t + {ti}) / (1.0 - f.t * {ti})
+    FROM fold f
+    JOIN nv ON nv.loop_key = f.loop_key
+    JOIN verts a ON a.loop_key = f.loop_key AND a.vidx = 0
+    JOIN verts b ON b.loop_key = f.loop_key AND b.vidx = f.i
+    JOIN verts c ON c.loop_key = f.loop_key AND c.vidx = f.i + 1
+    WHERE f.i <= nv.n - 2
+  )
+  SELECT f.loop_key, nv.n AS n_vertices, f.t AS tan_half_area
+  FROM fold f JOIN nv ON nv.loop_key = f.loop_key
+  WHERE f.i = nv.n - 1"""

@@ -62,6 +62,34 @@ def pip_join(ds, key_col: str, layer=None, mode: str = "inner", concurrency=(1, 
     )
 
 
+def within_distance_join(ds, key_col: str, layer=None, radius_deg: float = 1.5,
+                         concurrency=(1, 8)):
+    """Buffered region join: (key, polygon_id) for points within
+    `radius_deg` of each polygon (inside or near the boundary).  Broadcast
+    actor pool over radius-expanded coverings; see stages/distance.py."""
+    import math
+
+    from ..geometry.cap import chord2_from_radians
+    from ..stages import distance as dist_stages
+    from ..stages.encode import geotag_and_encode
+
+    if layer is None:
+        layer = standard_polygon_layer()
+    radius_rad = math.radians(radius_deg)
+    chord2 = chord2_from_radians(radius_rad)
+    prepared = dist_stages.prepare_distance_layer(layer, radius_rad, chord2)
+    tagged = ds.map_batches(
+        geotag_and_encode(key_col), batch_format="pyarrow", batch_size=32768
+    )
+    return tagged.map_batches(
+        dist_stages.WithinDistanceJoin,
+        fn_constructor_kwargs={"prepared": prepared, "key_col": key_col},
+        batch_format="pyarrow",
+        batch_size=32768,
+        concurrency=concurrency,
+    )
+
+
 def cap_join(ds, key_col: str, caps=None):
     if caps is None:
         caps = standard_caps()

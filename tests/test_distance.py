@@ -1,0 +1,97 @@
+"""Distance-r join kernel + expand_with_radius vs brute force."""
+
+import math
+
+import numpy as np
+import pytest
+
+from s2_geometry_rust_ray.functions import cellid
+from s2_geometry_rust_ray.geometry import cell_union
+from s2_geometry_rust_ray.geometry.cap import chord2_from_radians
+from s2_geometry_rust_ray.geometry.coverer import (
+    PolygonRegion,
+    RegionCoverer,
+    _point_to_arc_chord2,
+)
+from s2_geometry_rust_ray.geometry.loop import Polygon, latlng_deg_to_unit_xyz
+from s2_geometry_rust_ray.stages import distance as D
+
+U = np.uint64
+
+
+def square(lat0, lng0, half):
+    lats = [lat0 - half, lat0 - half, lat0 + half, lat0 + half]
+    lngs = [lng0 - half, lng0 + half, lng0 + half, lng0 - half]
+    return [(np.array(lats, float), np.array(lngs, float))]
+
+
+def test_min_edge_chord2_matches_scalar():
+    poly = Polygon.from_loops_latlng_deg(square(10.0, 30.0, 5.0))
+    consts = D.edge_constants(poly)
+    rng = np.random.default_rng(5)
+    lat = rng.uniform(-30, 50, 200)
+    lng = rng.uniform(-10, 70, 200)
+    pts = latlng_deg_to_unit_xyz(lat, lng)
+    got = D.points_min_edge_chord2(pts[:, 0], pts[:, 1], pts[:, 2], consts)
+    a, b, n = consts[0], consts[1], consts[2]
+    for i in range(0, 200, 17):
+        want = min(
+            _point_to_arc_chord2(pts[i], a[e], b[e], n[e]) for e in range(len(a))
+        )
+        assert abs(got[i] - want) < 1e-12
+
+
+def test_normalize_drops_nested_both_directions():
+    face = cellid.from_face_ij(np.array([1]), np.array([1 << 27]), np.array([1 << 27]))
+    anc = cellid.parent(face, 4)
+    desc1 = cellid.parent(face, 9)
+    desc2 = cellid.parent(face, 13)
+    for arrangement in ([desc1, anc, desc2], [anc, desc1], [desc2, anc]):
+        out = cell_union.normalize(np.concatenate(arrangement))
+        assert np.array_equal(out, anc)
+
+
+def test_expand_with_radius_buffers():
+    """Every point within r of the region must land inside the expanded
+    covering (the prefilter-correctness property the join relies on)."""
+    poly = Polygon.from_loops_latlng_deg(square(20.0, 100.0, 3.0))
+    rc = RegionCoverer(max_cells=48, max_level=14)
+    cov = cell_union.normalize(rc.get_covering(PolygonRegion(poly)))
+    r = math.radians(1.5)
+    exp = cell_union.expand_with_radius(cov, r)
+    c2 = chord2_from_radians(r)
+    consts = D.edge_constants(poly)
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(14.0, 26.0, 4000)
+    lng = rng.uniform(94.0, 106.0, 4000)
+    pts = latlng_deg_to_unit_xyz(lat, lng)
+    d2 = D.points_min_edge_chord2(pts[:, 0], pts[:, 1], pts[:, 2], consts)
+    inside = poly.contains_points(pts)
+    within = inside | (d2 <= c2)
+    from s2_geometry_rust_ray.functions.coords import (
+        st_to_ij,
+        uv_to_st,
+        xyz_to_face_uv,
+    )
+
+    face, u, v = xyz_to_face_uv(pts[:, 0], pts[:, 1], pts[:, 2])
+    leaves = cellid.from_face_ij(face, st_to_ij(uv_to_st(u)), st_to_ij(uv_to_st(v)))
+    in_exp = cell_union.contains_ids(exp, leaves)
+    assert np.all(in_exp[within]), "expanded covering cut a true match"
+
+
+def test_within_distance_join_end_to_end(ray_session):
+    import ray.data
+
+    from s2_geometry_rust_ray.pipelines import pip as ppip
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    )
+    got = ppip.within_distance_join(ds, "doc_id", radius_deg=1.5).to_pandas()
+    pip = ppip.pip_join(ds, "doc_id").to_pandas()
+    got_pairs = set(zip(got["doc_id"], got["polygon_id"]))
+    pip_pairs = set(zip(pip["doc_id"], pip["polygon_id"]))
+    # superset of the PIP join (inside => within distance)
+    assert pip_pairs <= got_pairs
+    assert len(got_pairs) > len(pip_pairs)
