@@ -140,6 +140,29 @@ def q_within_distance_join(src_sql: str, key_expr: str, polys: dict[str, Polygon
     )
 
 
+def q_boolean_pip(src_sql: str, key_expr: str, pa: Polygon, pb: Polygon,
+                  key_name: str) -> str:
+    """Set-algebra twin of the boolean-op PIP join: membership in the
+    clipped union/intersection/difference polygons must equal OR/AND/EXCEPT
+    of crossing-parity membership in the ORIGINAL squares."""
+    return (
+        cte_encode(src_sql, key_expr)
+        + _parity_ctes({"a": pa, "b": pb})
+        + f""",
+  __inside AS ({_PARITY_SELECT}),
+  __ia AS (SELECT key FROM __inside WHERE polygon_id = 'a'),
+  __ib AS (SELECT key FROM __inside WHERE polygon_id = 'b')
+  SELECT key AS {key_name}, 'union' AS polygon_id
+    FROM (SELECT key FROM __ia UNION SELECT key FROM __ib)
+  UNION ALL
+  SELECT key AS {key_name}, 'intersection' AS polygon_id
+    FROM (SELECT key FROM __ia INTERSECT SELECT key FROM __ib)
+  UNION ALL
+  SELECT key AS {key_name}, 'difference' AS polygon_id
+    FROM (SELECT key FROM __ia EXCEPT SELECT key FROM __ib)"""
+    )
+
+
 def q_region_join_caps(src_sql: str, key_expr: str, caps: dict, key_name: str) -> str:
     """(key, region_id) rows for cap regions: chord^2 <= r2, bit-exact."""
     rows = []

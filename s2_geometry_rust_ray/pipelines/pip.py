@@ -62,6 +62,40 @@ def pip_join(ds, key_col: str, layer=None, mode: str = "inner", concurrency=(1, 
     )
 
 
+def boolean_fixture_polys():
+    """Two overlapping squares straddling urban cluster 0 (40.75, -74) —
+    the A/B inputs for the boolean-op pipeline and its oracle."""
+    from ..geometry.loop import Polygon, latlng_deg_to_unit_xyz
+    from ..geometry.loop import Loop
+
+    import numpy as np
+
+    def sq(lat1, lng1, lat2, lng2):
+        lats = np.array([lat1, lat1, lat2, lat2], float)
+        lngs = np.array([lng1, lng2, lng2, lng1], float)
+        return Polygon([Loop(latlng_deg_to_unit_xyz(lats, lngs))])
+
+    return sq(40.4, -74.3, 40.8, -73.9), sq(40.6, -74.1, 41.1, -73.7)
+
+
+def boolean_pip_join(ds, key_col: str, concurrency=(1, 8)):
+    """PIP join against CLIPPED boolean products of the fixture squares:
+    the engine geometrically clips union/intersection/difference
+    (geometry/boolean.py) and joins points against the RESULT polygons;
+    the oracle (oracle/pip_sql.q_boolean_pip) instead applies set algebra
+    (OR/AND/EXCEPT) to crossing-parity membership in the ORIGINAL squares
+    — agreement is a genuine independent verification of the clipping."""
+    from ..geometry import boolean as B
+
+    pa, pb = boolean_fixture_polys()
+    layer = {
+        "union": B.boolean_op(pa, pb, "union"),
+        "intersection": B.boolean_op(pa, pb, "intersection"),
+        "difference": B.boolean_op(pa, pb, "difference"),
+    }
+    return pip_join(ds, key_col, layer=layer, concurrency=concurrency)
+
+
 def within_distance_join(ds, key_col: str, layer=None, radius_deg: float = 1.5,
                          concurrency=(1, 8)):
     """Buffered region join: (key, polygon_id) for points within
