@@ -169,6 +169,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read(sf_dir, "documents", columns=["doc_id"])
         return ppip.within_distance_join(ds, "doc_id", radius_deg=1.5)
 
+    def q_cap_bounds(sf_dir: str):
+        ds = _read(sf_dir, "documents", columns=["doc_id"])
+        return tiling.cap_bounds(ds, "doc_id", level=5)
+
     def q_boolean(sf_dir: str):
         ds = _read(sf_dir, "documents", columns=["doc_id"])
         return ppip.boolean_pip_join(ds, "doc_id")
@@ -182,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s2_loop_measures": q_loop_measures,
         "s2_within_join_docs": q_within,
         "s2_boolean_pip_docs": q_boolean,
+        "s2_cap_bounds_l5": q_cap_bounds,
         "s2_cell_encode_docs": q_encode_docs,
         "s2_tile_counts_l8": q_tile_l8,
         "s2_tile_counts_l12": q_tile_l12,
@@ -234,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_boolean_pip_docs": pip_sql.q_boolean_pip(
             DOCS_SRC, "doc_id", *ppip.boolean_fixture_polys(), "doc_id"
         ),
+        "s2_cap_bounds_l5": osql.q_cap_bounds(DOCS_SRC, "doc_id", 5),
         "s2_cell_encode_docs": osql.q_cell_encode(DOCS_SRC, "doc_id", "doc_id"),
         "s2_tile_counts_l8": osql.q_tile_counts(LINEITEM_SRC, "k", 8),
         "s2_tile_counts_l12": osql.q_tile_counts(LINEITEM_SRC, "k", 12),

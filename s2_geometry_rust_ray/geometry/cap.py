@@ -89,6 +89,53 @@ class Cap:
             chord2_from_radians(radians_from_chord2(self.r2) + extra_radians),
         )
 
+    def add_point(self, point_xyz) -> "Cap":
+        """Smallest enlargement containing `point` (src/cap.rs:285-295):
+        empty caps re-center on the point; otherwise the radius grows to
+        the chord distance.  Returns a new Cap (caps here are immutable).
+        Note the result depends on insertion order, exactly like C++ —
+        deterministic aggregates should anchor the center first (see
+        pipelines/tiling.cap_bounds)."""
+        p = np.asarray(point_xyz, dtype=np.float64)
+        if self.is_empty():
+            return Cap(p, 0.0)
+        return Cap(self.center, max(self.r2, float(self.chord2_to(*p))))
+
+    def add_cap(self, other: "Cap") -> "Cap":
+        """src/cap.rs:300-310: empty absorbs, otherwise union."""
+        if self.is_empty():
+            return Cap(other.center, other.r2)
+        if other.is_empty():
+            return Cap(self.center, self.r2)
+        return self.union(other)
+
+    def union(self, other: "Cap") -> "Cap":
+        """Smallest cap containing both (canonical s2cap.cc Union; port
+        src/cap.rs:325-345): containment shortcuts, else the midpoint cap
+        along the center great circle."""
+        if self.r2 < other.r2:
+            return other.union(self)
+        if self.is_full() or other.is_empty():
+            return Cap(self.center, self.r2)
+        a = radians_from_chord2(self.r2)
+        b = radians_from_chord2(other.r2)
+        d = math.acos(max(-1.0, min(1.0, float(self.center @ other.center))))
+        if a >= d + b:
+            return Cap(self.center, self.r2)
+        r = 0.5 * (d + a + b)
+        if r >= PI:
+            return Cap(self.center, 4.0)
+        # walk from self.center toward other.center by (d - a + b)/2
+        t = 0.5 * (d - a + b)
+        u = other.center - float(self.center @ other.center) * self.center
+        un = np.linalg.norm(u)
+        if un == 0.0:
+            return Cap(self.center, chord2_from_radians(r))
+        u = u / un
+        center = math.cos(t) * self.center + math.sin(t) * u
+        center = center / np.linalg.norm(center)
+        return Cap(center, chord2_from_radians(r))
+
     def get_rect_bound(self):
         """Cap -> lat/lng rect (src/cap.rs:422-495 semantics, conservative)."""
         if self.is_empty():

@@ -210,6 +210,69 @@ class RegionCoverer:
             level -= (level - self.min_level) % self.level_mod
         return level
 
+    def is_canonical(self, ids: np.ndarray) -> bool:
+        """True iff the covering satisfies the coverer's constraints
+        (src/region_coverer.rs:511-534): <= max_cells, every level in
+        [min_level, max_level] with (level - min_level) % level_mod == 0,
+        and already normalized."""
+        ids = np.asarray(ids, dtype=np.uint64)
+        if ids.size > self.max_cells:
+            return False
+        lv = cellid.level(ids)
+        if (lv < self.min_level).any() or (lv > self.max_level).any():
+            return False
+        if ((lv.astype(np.int64) - self.min_level) % self.level_mod != 0).any():
+            return False
+        return np.array_equal(cell_union.normalize(ids), ids)
+
+    def canonicalize_covering(self, ids: np.ndarray) -> np.ndarray:
+        """Adjust a covering to satisfy the constraints WITHOUT shrinking
+        coverage (canonical s2region_coverer.cc CanonicalizeCovering — the
+        port's variant at src/region_coverer.rs:537-596 truncates cells and
+        loses coverage, one of its documented simplifications):
+
+          * too-coarse cells (level < min_level) are replaced by their
+            descendants at the first allowed level;
+          * too-fine / off-mod cells are replaced by the nearest allowed
+            ANCESTOR (coverage can only grow);
+          * while over max_cells, merge the pair of adjacent cells with
+            the deepest lowest-common-ancestor into that ancestor.
+        """
+        ids = cell_union.normalize(np.asarray(ids, dtype=np.uint64))
+        U = np.uint64
+        out: list[int] = []
+        for cid in ids.tolist():
+            lv = int(cellid.level(np.array([cid], U))[0])
+            if lv < self.min_level:
+                # descend: exact-coverage replacement by children
+                frontier = [cid]
+                while int(cellid.level(np.array([frontier[0]], U))[0]) < self.min_level:
+                    frontier = [
+                        int(ch)
+                        for c in frontier
+                        for ch in cellid.children(np.array([c], U))[0]
+                    ]
+                out.extend(frontier)
+            else:
+                tgt = self._adjust_level(min(lv, self.max_level))
+                if tgt != lv:
+                    cid = int(cellid.parent(np.array([cid], U), tgt)[0])
+                out.append(cid)
+        ids = cell_union.normalize(np.array(out, dtype=U))
+        # reduce count by merging at the deepest common ancestor
+        while ids.size > self.max_cells:
+            best_i, best_lvl = -1, -2
+            for i in range(ids.size - 1):
+                lvl = common_ancestor_level(int(ids[i]), int(ids[i + 1]))
+                if lvl > best_lvl:
+                    best_i, best_lvl = i, lvl
+            if best_lvl < self.min_level:
+                break  # cannot merge further within constraints
+            anc_lvl = self._adjust_level(best_lvl)
+            anc = cellid.parent(ids[best_i : best_i + 1], anc_lvl)
+            ids = cell_union.normalize(np.concatenate([ids, anc]))
+        return ids
+
     def _covering(self, region, interior: bool) -> np.ndarray:
         counter = itertools.count()
         result: list[int] = []
@@ -292,3 +355,16 @@ class RegionCoverer:
 
     def get_interior_covering(self, region) -> np.ndarray:
         return self._covering(region, interior=True)
+
+
+def common_ancestor_level(a: int, b: int) -> int:
+    """Level of the lowest common ancestor of two cell ids, or -1 for
+    different faces (C++ S2CellId::GetCommonAncestorLevel)."""
+    import numpy as _np
+
+    aa = _np.array([a], dtype=_np.uint64)
+    bb = _np.array([b], dtype=_np.uint64)
+    bits = max(int(aa[0] ^ bb[0]), int(cellid.lsb(aa)[0]), int(cellid.lsb(bb)[0]))
+    msb = bits.bit_length() - 1
+    lvl = (60 - msb) >> 1
+    return lvl if lvl >= 0 else -1

@@ -67,6 +67,10 @@ class R1Interval:
     def get_length(self):
         return self.hi - self.lo
 
+    def project(self, p):
+        """Closest interval point to p (r1interval.rs Project)."""
+        return max(self.lo, min(self.hi, p))
+
 
 def _pos_angle(p):
     """Normalize to (-pi, pi], mapping -pi -> pi (S1 canonical form)."""
@@ -119,6 +123,14 @@ class S1Interval:
         if self.is_inverted():
             return (p >= self.lo or p <= self.hi) and not self.is_empty()
         return self.lo <= p <= self.hi
+
+    def project(self, p):
+        """Closest interval angle to p (s1interval.rs Project): p itself if
+        contained, else the circularly-nearer endpoint."""
+        if self.contains(p):
+            return p
+        p = _pos_angle(p)
+        return self.lo if _circular_gap(p, self.lo) <= _circular_gap(p, self.hi) else self.hi
 
     def fast_contains(self, p):
         if self.is_inverted():
@@ -184,6 +196,12 @@ class S1Interval:
             return length
         length += 2 * PI
         return length if length > 0 else -1.0
+
+
+def _circular_gap(a, b):
+    """Circular distance from angle a to angle b in [0, 2*pi)."""
+    d = abs(a - b)
+    return min(d, 2 * PI - d)
 
 
 def _positive_distance(a, b):

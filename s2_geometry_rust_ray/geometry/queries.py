@@ -64,6 +64,48 @@ def closest_edge_query(geom, pts: np.ndarray, max_results: int = 1,
     return out
 
 
+def _point_to_arc_max_chord2(c: np.ndarray, a: np.ndarray, b: np.ndarray,
+                             n: np.ndarray) -> float:
+    """MAX squared-chord distance from point c to arc (a,b): the farthest
+    great-circle point is the negated in-plane projection of c; if the arc
+    wedge contains it, 2 + 2*sqrt(1-w^2) with w = c.n_hat, else the
+    farther endpoint."""
+    import math
+
+    nn = float(n @ n)
+    if nn > 0.0:
+        cn = float(c @ n)
+        cp = c - (cn / nn) * n
+        norm = float(np.linalg.norm(cp))
+        if norm > 0.0:
+            q = -cp / norm
+            if float(np.dot(np.cross(a, q), n)) >= 0.0 and float(
+                np.dot(np.cross(q, b), n)
+            ) >= 0.0:
+                w = cn / math.sqrt(nn)
+                w = max(-1.0, min(1.0, w))
+                return 2.0 + 2.0 * math.sqrt(max(0.0, 1.0 - w * w))
+    return float(max(((c - a) ** 2).sum(), ((c - b) ** 2).sum()))
+
+
+def furthest_edge_query(geom, pts: np.ndarray, max_results: int = 1):
+    """S2FurthestEdgeQuery (the one query-system member the reference
+    never implemented — tests/test_s2query_system_port.rs:241-259): for
+    each query point the farthest edge(s), sorted by DESCENDING chord^2.
+    Returns list per point of (edge_index, chord2)."""
+    a, b = _edges_of(geom)
+    normals = np.cross(a, b)
+    pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
+    out = []
+    for p in pts:
+        d2 = np.array(
+            [_point_to_arc_max_chord2(p, a[e], b[e], normals[e]) for e in range(len(a))]
+        )
+        order = np.argsort(-d2, kind="stable")
+        out.append([(int(e), float(d2[e])) for e in order[:max_results]])
+    return out
+
+
 def distance_to_boundary(geom, pts: np.ndarray) -> np.ndarray:
     """Min chord^2 from each point to the geometry's boundary (canonical
     point<->edge great-circle distance — the port uses vertex-only distance,

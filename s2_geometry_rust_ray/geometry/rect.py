@@ -58,6 +58,39 @@ class LatLngRect:
     def union(self, other: "LatLngRect"):
         return LatLngRect(self.lat.union(other.lat), self.lng.union(other.lng))
 
+    def distance_to_latlng_rad(self, lat_rad: float, lng_rad: float) -> float:
+        """Min distance (radians) from a point to the rect: 0 if inside,
+        else great-circle distance to the projected boundary point
+        (src/latlng_rect.rs:486-500 GetDistanceToPoint semantics)."""
+        import math
+
+        if self.lat.contains(lat_rad) and self.lng.contains(lng_rad):
+            return 0.0
+        plat = self.lat.project(lat_rad)
+        plng = self.lng.project(lng_rad)
+        # chord distance between the two lat/lngs
+        ax = math.cos(lat_rad) * math.cos(lng_rad)
+        ay = math.cos(lat_rad) * math.sin(lng_rad)
+        az = math.sin(lat_rad)
+        bx = math.cos(plat) * math.cos(plng)
+        by = math.cos(plat) * math.sin(plng)
+        bz = math.sin(plat)
+        c2 = (ax - bx) ** 2 + (ay - by) ** 2 + (az - bz) ** 2
+        return 2.0 * math.asin(0.5 * math.sqrt(min(4.0, c2)))
+
+    def distance_to_rect_rad(self, other: "LatLngRect") -> float:
+        """Min distance between two rects: 0 when intersecting, else min
+        over corner-to-rect projections (src/latlng_rect.rs:462-485)."""
+        if self.intersects(other):
+            return 0.0
+        best = float("inf")
+        for rect_a, rect_b in ((self, other), (other, self)):
+            la = (rect_a.lat.lo, rect_a.lat.lo, rect_a.lat.hi, rect_a.lat.hi)
+            ln = (rect_a.lng.lo, rect_a.lng.hi, rect_a.lng.lo, rect_a.lng.hi)
+            for lat, lng in zip(la, ln):
+                best = min(best, rect_b.distance_to_latlng_rad(lat, lng))
+        return best
+
     def intersects(self, other: "LatLngRect"):
         return self.lat.intersects(other.lat) and self.lng.intersects(other.lng)
 

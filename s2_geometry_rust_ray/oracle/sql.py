@@ -273,3 +273,28 @@ def q_loop_measures(layer) -> str:
   SELECT f.loop_key, nv.n AS n_vertices, f.t AS tan_half_area
   FROM fold f JOIN nv ON nv.loop_key = f.loop_key
   WHERE f.i = nv.n - 1"""
+
+
+def q_cap_bounds(src_sql: str, key_expr: str, level: int) -> str:
+    """Per-tile bounding-cap twin (pipelines/tiling.cap_bounds): anchor at
+    min-key point, MAX of the engine's exact chord^2 expression."""
+    return (
+        cte_encode(src_sql, key_expr)
+        + f""",
+  __pt AS (
+    SELECT c.key, {sql_cell_hex(sql_parent('c.cell_id', level))} AS tile_token,
+           p.x, p.y, p.z
+    FROM __cell c JOIN __xyz p USING (key)
+  ),
+  __anchor AS (SELECT tile_token, min(key) AS keep_key FROM __pt GROUP BY 1),
+  __ctr AS (
+    SELECT a.tile_token, a.keep_key, p.x AS cx, p.y AS cy, p.z AS cz
+    FROM __anchor a
+    JOIN __pt p ON p.tile_token = a.tile_token AND p.key = a.keep_key
+  )
+  SELECT c.tile_token, c.keep_key, count(*)::BIGINT AS n,
+         max(((p.x - c.cx)*(p.x - c.cx) + (p.y - c.cy)*(p.y - c.cy))
+             + (p.z - c.cz)*(p.z - c.cz)) AS r2
+  FROM __pt p JOIN __ctr c USING (tile_token)
+  GROUP BY 1, 2"""
+    )

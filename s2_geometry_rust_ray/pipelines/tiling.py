@@ -143,6 +143,67 @@ def tile_counts_salted(
     return unsalted.map_batches(tokenize, batch_format="pyarrow")
 
 
+def cap_bounds(ds: "ray.data.Dataset", key_col: str, level: int = 5,
+               num_parts: int = 8) -> "ray.data.Dataset":
+    """Per-tile BOUNDING-CAP aggregate (S2Cap::add_point folded in key
+    order, src/cap.rs:285-295): for each level-K tile, the cap anchored at
+    the min-key point whose radius covers every point in the tile.
+    Output (tile_token, keep_key, n, r2) — r2 is the squared-chord radius,
+    pure +-*/ arithmetic, so the SQL oracle (min-key anchor via argmin +
+    MAX of the same chord^2 expression) matches bit-exactly.  Anchoring at
+    the min-key point makes the fold order-independent, unlike raw C++
+    add_point over arbitrary insertion order."""
+    from ..functions.coords import latlng_deg_to_xyz
+    from ..stages import exchange
+
+    def project(batch: pa.Table) -> pa.Table:
+        batch = geotag_and_encode(key_col)(batch)
+        cid = batch["cell_id"].to_numpy(zero_copy_only=False)
+        tiles = cellid.to_sort_key(cellid.parent(cid, level))
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        return pa.table(
+            {"tile": tiles, "key": batch[key_col].to_numpy(zero_copy_only=False),
+             "x": x, "y": y, "z": z}
+        )
+
+    slim = ds.map_batches(project, batch_format="pyarrow", batch_size=65536)
+    parts = exchange.hash_exchange(slim, "tile", num_parts)
+
+    def per_partition(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"tile_token": pa.array([], pa.string()),
+             "keep_key": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64()),
+             "r2": pa.array([], pa.float64())}
+        )
+        if tbl.num_rows == 0:
+            return empty
+        t = tbl["tile"].to_numpy(zero_copy_only=False)
+        k = tbl["key"].to_numpy(zero_copy_only=False)
+        x = tbl["x"].to_numpy(zero_copy_only=False)
+        y = tbl["y"].to_numpy(zero_copy_only=False)
+        z = tbl["z"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, t))
+        t, k, x, y, z = t[order], k[order], x[order], y[order], z[order]
+        uniq, starts, counts = np.unique(t, return_index=True, return_counts=True)
+        # anchor = first row of each segment (min key after the lexsort)
+        cx = np.repeat(x[starts], counts)
+        cy = np.repeat(y[starts], counts)
+        cz = np.repeat(z[starts], counts)
+        dx, dy, dz = x - cx, y - cy, z - cz
+        c2 = (dx * dx + dy * dy) + dz * dz
+        r2 = np.maximum.reduceat(c2, starts)
+        toks = cellid.to_hex(cellid.from_sort_key(uniq))
+        return pa.table(
+            {"tile_token": toks, "keep_key": k[starts],
+             "n": counts.astype(np.int64), "r2": r2}
+        )
+
+    return exchange.partitions_to_dataset(parts, per_partition)
+
+
 def snap_dedup(
     ds: "ray.data.Dataset", key_col: str, level: int = 16
 ) -> "ray.data.Dataset":

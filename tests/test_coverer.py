@@ -140,3 +140,55 @@ def test_normalize_merges_siblings():
     assert np.array_equal(cell_union.normalize(kids), face)
     # three siblings don't merge
     assert cell_union.normalize(kids[:3]).size == 3
+
+
+def test_canonicalize_covering():
+    import numpy as np
+
+    from s2_geometry_rust_ray.functions import cellid
+    from s2_geometry_rust_ray.geometry import cell_union
+    from s2_geometry_rust_ray.geometry.coverer import RegionCoverer
+
+    U = np.uint64
+    leaf = cellid.from_face_ij(np.array([3]), np.array([1 << 26]), np.array([1 << 26]))
+    cells = np.concatenate(
+        [cellid.parent(leaf, l) for l in (4, 7, 9, 12, 15, 18)]
+    )  # nested chain -> normalize keeps only level 4
+    spread = np.concatenate(
+        [cellid.parent(cellid.from_face_ij(np.array([1]), np.array([i << 26]),
+                                           np.array([j << 26])), 10)
+         for i, j in ((1, 1), (3, 1), (5, 5), (7, 3), (1, 7))]
+    )
+    rc = RegionCoverer(max_cells=4, min_level=0, max_level=12, level_mod=2)
+    cov = rc.canonicalize_covering(np.concatenate([cells, spread]))
+    assert rc.is_canonical(cov)
+    # coverage never shrinks: every input cell is inside the output
+    inputs = cell_union.normalize(np.concatenate([cells, spread]))
+    assert cell_union.contains_ids(cov, inputs).all()
+    # level constraints hold
+    lv = cellid.level(cov)
+    assert (lv <= 12).all()
+    assert ((lv.astype(np.int64) % 2) == 0).all()
+    # a min_level that makes max_cells unsatisfiable leaves a valid-level,
+    # over-count covering rather than dropping coverage
+    rc2 = RegionCoverer(max_cells=2, min_level=2, max_level=12, level_mod=2)
+    cov2 = rc2.canonicalize_covering(np.concatenate([cells, spread]))
+    assert cell_union.contains_ids(cov2, inputs).all()
+    assert (cellid.level(cov2) >= 2).all()
+
+
+def test_is_canonical_rejects():
+    import numpy as np
+
+    from s2_geometry_rust_ray.functions import cellid
+    from s2_geometry_rust_ray.geometry.coverer import RegionCoverer
+
+    U = np.uint64
+    leaf = cellid.from_face_ij(np.array([0]), np.array([5]), np.array([9]))
+    rc = RegionCoverer(max_cells=8, min_level=3, max_level=10)
+    assert not rc.is_canonical(cellid.parent(leaf, 1))   # too coarse
+    assert not rc.is_canonical(cellid.parent(leaf, 14))  # too fine
+    assert rc.is_canonical(cellid.parent(leaf, 5))
+    # duplicate cells are not normalized
+    dup = np.concatenate([cellid.parent(leaf, 5)] * 2)
+    assert not rc.is_canonical(dup)

@@ -140,3 +140,79 @@ def test_closest_cell_distance():
     assert queries.closest_cell_distance(cell, inside) == 0.0
     far = pts([-40.0], [100.0])[0]
     assert queries.closest_cell_distance(cell, far) > 0.1
+
+
+def test_furthest_edge_query():
+    import math
+
+    from s2_geometry_rust_ray.geometry.loop import Loop, latlng_deg_to_unit_xyz
+    from s2_geometry_rust_ray.geometry.queries import (
+        closest_edge_query,
+        furthest_edge_query,
+    )
+
+    lats = np.array([-1.0, -1.0, 1.0, 1.0])
+    lngs = np.array([-1.0, 1.0, 1.0, -1.0])
+    lp = Loop(latlng_deg_to_unit_xyz(lats, lngs))
+    # query from a point far east: the west edge is furthest
+    q = latlng_deg_to_unit_xyz(np.array([0.0]), np.array([90.0]))
+    far = furthest_edge_query(lp, q)[0][0]
+    near = closest_edge_query(lp, q)[0][0]
+    assert far[1] > near[1]
+    # furthest distance from inside the loop to its own edges < pi chord
+    q2 = latlng_deg_to_unit_xyz(np.array([0.0]), np.array([0.0]))
+    d2 = furthest_edge_query(lp, q2)[0][0][1]
+    assert 0 < d2 < 4.0
+    # antipode of the center: every edge is nearly max distance
+    q3 = latlng_deg_to_unit_xyz(np.array([0.0]), np.array([180.0]))
+    d3 = furthest_edge_query(lp, q3)[0][0][1]
+    assert d3 > 3.9
+
+
+def test_cap_add_point_add_cap_union():
+    import math
+
+    from s2_geometry_rust_ray.geometry.cap import Cap, radians_from_chord2
+    from s2_geometry_rust_ray.geometry.loop import latlng_deg_to_unit_xyz
+
+    empty = Cap(np.array([1.0, 0.0, 0.0]), -1.0)
+    p1 = latlng_deg_to_unit_xyz(np.array([0.0]), np.array([0.0]))[0]
+    p2 = latlng_deg_to_unit_xyz(np.array([0.0]), np.array([10.0]))[0]
+    c = empty.add_point(p1)
+    assert c.r2 == 0.0 and np.allclose(c.center, p1)
+    c = c.add_point(p2)
+    assert bool(c.contains_xyz(*p1)) and bool(c.contains_xyz(*p2))
+    assert radians_from_chord2(c.r2) == pytest.approx(math.radians(10.0), abs=1e-12)
+    # union of two separated caps contains both
+    a = Cap.from_latlng_deg(0.0, 0.0, 5.0)
+    b = Cap.from_latlng_deg(0.0, 20.0, 3.0)
+    u = a.union(b)
+    assert u.contains_cap(a) and u.contains_cap(b)
+    # containment shortcut
+    small = Cap.from_latlng_deg(0.0, 0.0, 1.0)
+    assert np.allclose(a.union(small).center, a.center)
+    assert a.union(small).r2 == a.r2
+    assert a.add_cap(small).r2 == a.r2
+    assert empty.add_cap(a).r2 == a.r2
+
+
+def test_rect_distance():
+    import math
+
+    from s2_geometry_rust_ray.geometry.rect import LatLngRect
+
+    r = LatLngRect.from_degrees(0.0, 0.0, 10.0, 10.0)
+    # inside -> 0
+    assert r.distance_to_latlng_rad(math.radians(5), math.radians(5)) == 0.0
+    # due east of the rect at the equator: distance = delta lng
+    d = r.distance_to_latlng_rad(math.radians(0.0), math.radians(15.0))
+    assert d == pytest.approx(math.radians(5.0), abs=1e-12)
+    r2 = LatLngRect.from_degrees(0.0, 20.0, 10.0, 30.0)
+    # closest corners sit at lat 10 deg: great-circle distance between
+    # (10,10) and (10,20) is shorter than 10 deg of equator longitude
+    want = math.acos(
+        math.sin(math.radians(10)) ** 2
+        + math.cos(math.radians(10)) ** 2 * math.cos(math.radians(10))
+    )
+    assert r.distance_to_rect_rad(r2) == pytest.approx(want, abs=1e-9)
+    assert r.distance_to_rect_rad(r) == 0.0
