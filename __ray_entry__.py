@@ -216,7 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from s2_geometry_rust_ray.oracle import knn_sql, pip_sql
+    from s2_geometry_rust_ray.oracle import h3_sql, knn_sql, pip_sql
     from s2_geometry_rust_ray.oracle import sql as osql
     from s2_geometry_rust_ray.pipelines import pip as ppip
 
@@ -295,6 +295,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2"
         ),
         "doc_near_dup_pairs": osql.q_near_dup_pairs(),
+        "h3_tile_counts_r5": h3_sql.q_h3_tile_counts(LINEITEM_SRC, "k", 5),
         # doc_quality / doc_fingerprints / ann_cosine_topk:
         # deliberately no SQL oracle (heuristic / hash-pipeline / float-reduction
         # ops are not SQL-reproducible bit-exactly) -> driver rows-only check;

@@ -107,14 +107,25 @@ def latlng_to_h3(lat_deg, lng_deg, res: int) -> np.ndarray:
 
 
 def _raw_encode(pts: np.ndarray, res: int) -> np.ndarray:
-    """Point -> (face of point, rounded hex in that face's frame)."""
-    dots = pts @ FACE_CENTERS.T  # (n, 20)
+    """Point -> (face of point, rounded hex in that face's frame).
+
+    Every float expression is explicit left-associated mul/adds (no BLAS
+    matmul, no linalg.norm) so the DuckDB oracle (oracle/h3_sql.py)
+    reproduces the encode bit-exactly."""
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    dots = (
+        x[:, None] * FACE_CENTERS[None, :, 0]
+        + y[:, None] * FACE_CENTERS[None, :, 1]
+        + z[:, None] * FACE_CENTERS[None, :, 2]
+    )
     face = dots.argmax(axis=1)
     n = FACE_CENTERS[face]
-    scale_p = (pts * n).sum(axis=1)
-    g = pts / scale_p[:, None]  # gnomonic projection onto face plane
-    a = ((g - n) * FACE_U[face]).sum(axis=1)
-    b = ((g - n) * FACE_V[face]).sum(axis=1)
+    u = FACE_U[face]
+    v = FACE_V[face]
+    scale_p = x * n[:, 0] + y * n[:, 1] + z * n[:, 2]
+    gx, gy, gz = x / scale_p, y / scale_p, z / scale_p
+    a = (gx - n[:, 0]) * u[:, 0] + (gy - n[:, 1]) * u[:, 1] + (gz - n[:, 2]) * u[:, 2]
+    b = (gx - n[:, 0]) * v[:, 0] + (gy - n[:, 1]) * v[:, 1] + (gz - n[:, 2]) * v[:, 2]
     s, ct, st = _res_frame(res)
     ar = (a * ct + b * st) / s
     br = (-a * st + b * ct) / s
@@ -191,7 +202,9 @@ def h3_to_xyz(cell) -> np.ndarray:
             + a[:, None] * FACE_U[face[m]]
             + b[:, None] * FACE_V[face[m]]
         )
-        out[m] = g / np.linalg.norm(g, axis=1, keepdims=True)
+        # explicit norm expression (shared with the SQL oracle)
+        nrm = np.sqrt((g[:, 0] * g[:, 0] + g[:, 1] * g[:, 1]) + g[:, 2] * g[:, 2])
+        out[m] = g / nrm[:, None]
     return out
 
 
