@@ -61,6 +61,34 @@ def expanded_points(sf_dir: str, expand: int):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def expanded_events(sf_dir: str, expand: int):
+    """events x EXPAND replicas with disjoint user_id spaces -> Dataset
+    (user_id, ts).  Exercises the raw-Ray hash exchange (sessionize) at a
+    size where the map-side split parallelism matters."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    users = t["user_id"].to_numpy()
+    ts = t["ts"].to_numpy()
+    n_total = len(users) * expand
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    nblocks = max(ncpu * 2, n_total // 3_000_000)
+    ds = ray.data.range(n_total, override_num_blocks=nblocks)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        i = batch["id"].to_numpy(zero_copy_only=False)
+        j = i // expand
+        rep = (i % expand).astype(np.int64)
+        return pa.table(
+            {"user_id": users[j] + rep * 1_000_000_000, "ts": pa.array(ts[j])}
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def run_benchmarks() -> dict:
     import ray
 
@@ -134,6 +162,31 @@ def run_benchmarks() -> dict:
         ds = expanded_points(SF_DIR, EXPAND)
         tiling.h3_tile_counts(ds, "k", res=6).count()
         queries["h3_tile_r6"] = time.perf_counter() - t0
+
+        # raw-Ray exchange family: sessionization over a 16x events input
+        # (hash exchange by user -> per-partition vectorized sessionize)
+        from s2_geometry_rust_ray.pipelines import textops
+
+        t0 = time.perf_counter()
+        ev = expanded_events(SF_DIR, EXPAND)
+        textops.sessionize(ev, gap_minutes=30, num_parts=NUM_CPUS).count()
+        queries["sessions_16x"] = time.perf_counter() - t0
+
+        # bandwidth-ceiling control: the SAME expanded source through a
+        # no-op (per-batch sum) kernel — the floor below the headline is
+        # source generation + object-store movement, so (headline - this)
+        # is the true compute term the cluster scales
+        import pyarrow.compute as pc
+
+        t0 = time.perf_counter()
+        ds = expanded_points(SF_DIR, EXPAND)
+        ds.map_batches(
+            lambda b: __import__("pyarrow").table(
+                {"s": [pc.sum(b["k"]).as_py()]}
+            ),
+            batch_format="pyarrow",
+        ).count()
+        queries["noop_kernel_control"] = time.perf_counter() - t0
 
     headline = queries["encode_tile_l8"]
     result = {

@@ -225,3 +225,77 @@ def edge_or_vertex_crossing(a, b, c, d):
     if cs > 0:
         return True
     return vertex_crossing(a, b, c, d)
+
+
+def compare_distances(x, a, b) -> int:
+    """sign(d(x,a) - d(x,b)) via chord^2 with a triage band and an exact
+    rational fallback (src/predicates.rs:321-409 structure; chord^2 is
+    monotone in angle so no trig is needed)."""
+    import math
+
+    x = np.asarray(x, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    da = float(((x - a) ** 2).sum())
+    db = float(((x - b) ** 2).sum())
+    diff = da - db
+    err = 4.0 * np.finfo(np.float64).eps * (da + db)
+    if diff > err:
+        return 1
+    if diff < -err:
+        return -1
+    # exact tier: Fraction arithmetic over the float coordinates
+    from fractions import Fraction as F
+
+    fx = [F(v) for v in x]
+    fa = [F(v) for v in a]
+    fb = [F(v) for v in b]
+    ea = sum((fx[i] - fa[i]) ** 2 for i in range(3))
+    eb = sum((fx[i] - fb[i]) ** 2 for i in range(3))
+    return (ea > eb) - (ea < eb)
+
+
+def compare_distance(x, p, r2: float) -> int:
+    """sign(chord^2(x, p) - r2), exact tier on tie (r2 is an exact float
+    threshold, e.g. from chord2_from_radians)."""
+    x = np.asarray(x, dtype=np.float64)
+    p = np.asarray(p, dtype=np.float64)
+    d2 = float(((x - p) ** 2).sum())
+    err = 4.0 * np.finfo(np.float64).eps * (d2 + r2)
+    if d2 - r2 > err:
+        return 1
+    if d2 - r2 < -err:
+        return -1
+    from fractions import Fraction as F
+
+    e = sum((F(a) - F(b)) ** 2 for a, b in zip(x, p))
+    fr = F(r2)
+    return (e > fr) - (e < fr)
+
+
+def compare_edge_distance(x, a0, a1, r2: float) -> int:
+    """sign(min-distance(x, arc a0a1)^2_chord - r2) — the predicate behind
+    the distance-r join refine (src/predicates.rs:503-562; the vectorized
+    batch kernel lives in stages/distance.py)."""
+    import math
+
+    x = np.asarray(x, dtype=np.float64)
+    a0 = np.asarray(a0, dtype=np.float64)
+    a1 = np.asarray(a1, dtype=np.float64)
+    n = np.cross(a0, a1)
+    nn = float(n @ n)
+    if nn > 0.0 and float(np.dot(np.cross(a0, x), n)) >= 0.0 and float(
+        np.dot(np.cross(x, a1), n)
+    ) >= 0.0:
+        w = float(x @ n) / math.sqrt(nn)
+        w = max(-1.0, min(1.0, w))
+        d2 = 2.0 - 2.0 * math.sqrt(max(0.0, 1.0 - w * w))
+        err = 8.0 * np.finfo(np.float64).eps
+        if d2 - r2 > err:
+            return 1
+        if d2 - r2 < -err:
+            return -1
+        return 0  # within float tolerance of the threshold: reported as tie
+    ra = compare_distance(x, a0, r2)
+    rb = compare_distance(x, a1, r2)
+    return min(ra, rb)

@@ -182,3 +182,42 @@ def leaf_cells_covered(union: np.ndarray) -> int:
     union = np.asarray(union, dtype=U)
     lv = cellid.level(union)
     return int((np.uint64(1) << (U(2) * (U(30) - lv.astype(U)))).sum())
+
+
+def encode_varint(union: np.ndarray) -> bytes:
+    """Delta-varint codec for sorted cell-id arrays (the S2CellUnion
+    Encoder/Decoder pairing, compact form): little-endian base-128 varints
+    of consecutive deltas.  ~2-5 bytes/cell for typical coverings vs 8 raw."""
+    union = np.asarray(union, dtype=U)
+    out = bytearray()
+    prev = 0
+    for cid in union.tolist():
+        d = int(cid) - prev
+        prev = int(cid)
+        while True:
+            b = d & 0x7F
+            d >>= 7
+            if d:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    return bytes(out)
+
+
+def decode_varint(data: bytes) -> np.ndarray:
+    """Inverse of encode_varint."""
+    out = []
+    acc = 0
+    val = 0
+    shift = 0
+    for byte in data:
+        val |= (byte & 0x7F) << shift
+        if byte & 0x80:
+            shift += 7
+        else:
+            acc += val
+            out.append(acc)
+            val = 0
+            shift = 0
+    return np.array(out, dtype=U)

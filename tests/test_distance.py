@@ -95,3 +95,36 @@ def test_within_distance_join_end_to_end(ray_session):
     # superset of the PIP join (inside => within distance)
     assert pip_pairs <= got_pairs
     assert len(got_pairs) > len(pip_pairs)
+
+
+def test_compare_distance_predicates():
+    import math
+
+    from s2_geometry_rust_ray.functions import predicates as P
+    from s2_geometry_rust_ray.geometry.cap import chord2_from_radians
+
+    a = latlng_deg_to_unit_xyz(np.array([0.0]), np.array([0.0]))[0]
+    b = latlng_deg_to_unit_xyz(np.array([0.0]), np.array([10.0]))[0]
+    x = latlng_deg_to_unit_xyz(np.array([0.0]), np.array([3.0]))[0]
+    assert P.compare_distances(x, a, b) == -1  # closer to a
+    assert P.compare_distances(x, b, a) == 1
+    assert P.compare_distances(a, b, b) == 0
+    r2 = chord2_from_radians(math.radians(5.0))
+    assert P.compare_distance(x, a, r2) == -1  # 3 deg < 5 deg
+    assert P.compare_distance(b, a, r2) == 1   # 10 deg > 5 deg
+    # edge distance: point above the middle of the arc
+    p = latlng_deg_to_unit_xyz(np.array([2.0]), np.array([5.0]))[0]
+    assert P.compare_edge_distance(p, a, b, chord2_from_radians(math.radians(3.0))) == -1
+    assert P.compare_edge_distance(p, a, b, chord2_from_radians(math.radians(1.0))) == 1
+
+
+def test_cell_union_varint_roundtrip():
+    from s2_geometry_rust_ray.geometry.coverer import PolygonRegion, RegionCoverer
+
+    poly = Polygon.from_loops_latlng_deg(square(10.0, 30.0, 5.0))
+    rc = RegionCoverer(max_cells=32, max_level=12)
+    cov = cell_union.normalize(rc.get_covering(PolygonRegion(poly)))
+    enc = cell_union.encode_varint(cov)
+    dec = cell_union.decode_varint(enc)
+    assert np.array_equal(dec, cov)
+    assert len(enc) < 8 * len(cov)  # beats raw fixed-width
