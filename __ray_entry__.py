@@ -152,8 +152,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_near_dup(sf_dir: str):
         return textops.near_dup_pairs(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
+    def q_simhash(sf_dir: str):
+        return textops.simhash_table(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+    def q_simhash_near_dup(sf_dir: str):
+        return textops.simhash_near_dup(
+            _read(sf_dir, "documents", columns=["doc_id", "text"])
+        )
+
     def q_fingerprints(sf_dir: str):
         return textops.fingerprints(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+    def q_emb_near_dup(sf_dir: str):
+        # the synthetic embeddings are isotropic (max pairwise cosine ~0.51
+        # at sf0.01), so the near-dup op would be vacuously empty; union the
+        # table with an exact copy under offset ids so every vector has one
+        # deterministic cosine-1.0 duplicate — identical vectors always
+        # share every LSH bucket, making recall exact and the row count
+        # stable (= n_vectors) for the driver's check
+        import pyarrow.compute as pc
+
+        from s2_geometry_rust_ray.stages import simsearch
+
+        ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+        def offset_ids(batch):
+            return batch.set_column(
+                batch.schema.get_field_index("vec_id"), "vec_id",
+                pc.add(batch["vec_id"], 10_000_000),
+            )
+
+        dup = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+            offset_ids, batch_format="pyarrow"
+        )
+        return simsearch.embedding_near_dup(ds.union(dup), threshold=0.9)
 
     def q_ann(sf_dir: str):
         import numpy as np
@@ -207,8 +239,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_purchase_view": q_asof,
         "doc_quality": q_quality,
         "doc_near_dup_pairs": q_near_dup,
+        "doc_simhash": q_simhash,
+        "doc_simhash_near_dup": q_simhash_near_dup,
         "doc_fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann,
+        "emb_near_dup_pairs": q_emb_near_dup,
         "h3_tile_counts_r5": lambda sf_dir: tiling.h3_tile_counts(
             _lineitem_keys(sf_dir), "k", res=5
         ),
@@ -295,6 +330,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2"
         ),
         "doc_near_dup_pairs": osql.q_near_dup_pairs(),
+        "doc_simhash": osql.q_simhash(),
+        "doc_simhash_near_dup": osql.q_simhash_near_dup(),
         "h3_tile_counts_r5": h3_sql.q_h3_tile_counts(LINEITEM_SRC, "k", 5),
         # doc_quality / doc_fingerprints / ann_cosine_topk:
         # deliberately no SQL oracle (heuristic / hash-pipeline / float-reduction

@@ -163,6 +163,51 @@ def minhash_signature(text: str, num_hashes: int = 32, k: int = 5) -> np.ndarray
     return h.min(axis=0)
 
 
+def token_hashes(text: str) -> np.ndarray:
+    """Distinct lowercased tokens md5-hashed to uint64 (first 16 hex).
+    Oracle twin: ('0x' || substr(md5(t),1,16))::UBIGINT over DISTINCT
+    lower(token)."""
+    toks = {t.lower() for t in TOKEN_RE.findall(text)}
+    return np.array(
+        [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16) for t in toks],
+        dtype=np.uint64,
+    )
+
+
+def simhash64(text: str) -> np.ndarray:
+    """64-bit SimHash over distinct token hashes: bit i set iff more token
+    hashes have bit i set than clear (strict majority; ties -> 0).  Pure
+    integer pipeline, bit-exact reproducible in SQL (oracle/sql.q_simhash).
+    Returns uint64 scalar array of shape ()."""
+    h = token_hashes(text)
+    if len(h) == 0:
+        return np.uint64(0)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    sig = np.uint64(0)
+    set_bits = np.nonzero(votes > 0)[0]
+    for i in set_bits:
+        sig |= np.uint64(1) << np.uint64(i)
+    return sig
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount for uint64 (numpy<2 lacks bitwise_count)."""
+    x = np.asarray(x, dtype=np.uint64).copy()
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    x -= (x >> np.uint64(1)) & m1
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of XOR over uint64 arrays."""
+    return popcount64(np.asarray(a, dtype=np.uint64) ^ np.asarray(b, dtype=np.uint64))
+
+
 def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0

@@ -298,3 +298,77 @@ def q_cap_bounds(src_sql: str, key_expr: str, level: int) -> str:
   FROM __pt p JOIN __ctr c USING (tile_token)
   GROUP BY 1, 2"""
     )
+
+
+def _simhash_ctes() -> str:
+    """CTE chain computing __sig(doc_id, sig UBIGINT) — SimHash over
+    distinct lowercased tokens, strict-majority votes per bit.  The 64 bit
+    values arrive as a VALUES table because DuckDB's << promotes to BIGINT
+    and overflows at bit 63."""
+    bit_rows = ", ".join(f"({i},{1 << i}::UBIGINT)" for i in range(64))
+    return f"""toks AS (
+    SELECT DISTINCT doc_id, lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS t
+    FROM documents
+  ),
+  hx AS (
+    SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS h
+    FROM toks
+  ),
+  bits(i, c) AS (VALUES {bit_rows}),
+  votes AS (
+    SELECT doc_id, b.i, b.c,
+           SUM(CASE WHEN (h >> b.i) & 1::UBIGINT = 1::UBIGINT
+                    THEN 1 ELSE -1 END) AS v
+    FROM hx CROSS JOIN bits b GROUP BY 1, 2, 3
+  ),
+  __sig AS (
+    SELECT doc_id,
+           CAST(COALESCE(SUM(CASE WHEN v > 0 THEN c ELSE 0::UBIGINT END),
+                         0::UBIGINT) AS UBIGINT) AS sig
+    FROM votes GROUP BY 1
+  ),
+  __allsig AS (
+    SELECT d.doc_id, COALESCE(s.sig, 0::UBIGINT) AS sig
+    FROM documents d LEFT JOIN __sig s USING (doc_id)
+  )"""
+
+
+def q_simhash() -> str:
+    """(doc_id, simhash int64-view) twin of textops.simhash_table."""
+    return (
+        "WITH " + _simhash_ctes()
+        + """
+  SELECT doc_id,
+         CAST(CAST(sig AS HUGEINT)
+              - CASE WHEN sig >= 9223372036854775808::UBIGINT
+                     THEN 18446744073709551616::HUGEINT
+                     ELSE 0::HUGEINT END AS BIGINT) AS simhash
+  FROM __allsig"""
+    )
+
+
+def q_simhash_near_dup(max_hamming: int = 7) -> str:
+    """(doc_a, doc_b, hamming) twin of textops.simhash_near_dup: 8-bit
+    band buckets (8 bands: pigeonhole-complete for hamming <= 7) ->
+    candidate pairs -> exact popcount(xor) filter."""
+    return (
+        "WITH " + _simhash_ctes()
+        + f""",
+  bands AS (
+    SELECT doc_id, b AS band,
+           CAST((sig >> (8 * b)) & 255::UBIGINT AS BIGINT) AS chunk
+    FROM __allsig CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
+    WHERE sig <> 0::UBIGINT
+  ),
+  cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y ON x.band = y.band AND x.chunk = y.chunk
+    WHERE x.doc_id < y.doc_id
+  )
+  SELECT c.doc_a, c.doc_b,
+         CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+  FROM cand c
+  JOIN __allsig sa ON sa.doc_id = c.doc_a
+  JOIN __allsig sb ON sb.doc_id = c.doc_b
+  WHERE bit_count(xor(sa.sig, sb.sig)) <= {max_hamming}"""
+    )

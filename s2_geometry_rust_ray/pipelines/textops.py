@@ -180,6 +180,101 @@ def near_dup_pairs(ds, num_hashes: int = 32, band_size: int = 4,
     return j2.map_batches(verify, batch_format="pandas")
 
 
+def simhash_table(ds):
+    """(doc_id, simhash) — 64-bit SimHash per doc (int64 view of the
+    uint64 signature, kept int64 so Ray sort/exchange never pickles).
+    Oracle: oracle/sql.q_simhash (pure integer votes; bit-exact)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        sig = np.array(
+            [T.simhash64(str(t)) for t in batch["text"]], dtype=np.uint64
+        )
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "simhash": sig.view(np.int64)}
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def simhash_near_dup(ds, max_hamming: int = 7, num_parts: int = 16):
+    """SimHash near-duplicate pairs: (doc_a, doc_b, hamming).
+
+    Candidates share at least one of the 8 8-bit bands of their SimHash;
+    by pigeonhole a pair with hamming <= 7 differs in at most 7 bands, so
+    some band matches — max_hamming <= 7 has NO false negatives (the
+    classic multi-index Hamming scheme: k+1 bands guarantee radius k).
+    Verification is exact popcount(xor).  Same fully-distributed shape as
+    the MinHash path: band exchange -> per-bucket pairs -> pair dedup
+    co-located by doc_a.  Empty docs (simhash 0) are excluded from
+    banding.  Integer-only => bit-exact vs oracle/sql.q_simhash_near_dup."""
+    from ..stages import exchange
+
+    def band_stage(batch: pd.DataFrame) -> pd.DataFrame:
+        out_doc, out_bucket = [], []
+        for doc_id, txt in zip(batch["doc_id"], batch["text"]):
+            sig = int(T.simhash64(str(txt)))
+            if sig == 0:
+                continue
+            for b in range(8):
+                chunk = (sig >> (8 * b)) & 0xFF
+                out_doc.append(doc_id)
+                out_bucket.append(f"{b}:{chunk}")
+        return pd.DataFrame({"doc_id": out_doc, "bucket": out_bucket})
+
+    bands = ds.map_batches(band_stage, batch_format="pandas")
+    bucket_parts = exchange.hash_exchange(bands, "bucket", num_parts)
+
+    def pairs_in_partition(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        df = tbl.to_pandas()
+        out_a, out_b = [], []
+        for _, grp in df.groupby("bucket", sort=False):
+            ids = np.unique(grp["doc_id"].to_numpy())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        if not out_a:
+            return empty
+        t = pa.table({"doc_a": np.asarray(out_a, dtype=np.int64),
+                      "doc_b": np.asarray(out_b, dtype=np.int64)})
+        return t.group_by(["doc_a", "doc_b"]).aggregate([])
+
+    cand = exchange.partitions_to_dataset(bucket_parts, pairs_in_partition)
+    pair_parts = exchange.hash_exchange(cand, "doc_a", num_parts)
+
+    def dedup_part(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        return tbl.group_by(["doc_a", "doc_b"]).aggregate([])
+
+    cand = exchange.partitions_to_dataset(pair_parts, dedup_part)
+
+    sigs = simhash_table(ds)
+    j1 = exchange.hash_join(cand, sigs, "doc_a", num_parts=num_parts,
+                            right_on="doc_id")
+    j1 = j1.map_batches(_rename_col("simhash", "sig_a"), batch_format="pyarrow")
+    j2 = exchange.hash_join(j1, sigs, "doc_b", num_parts=num_parts,
+                            right_on="doc_id")
+    j2 = j2.map_batches(_rename_col("simhash", "sig_b"), batch_format="pyarrow")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["sig_a"].to_numpy(zero_copy_only=False).view(np.uint64)
+        b = batch["sig_b"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ham = T.hamming64(a, b)
+        keep = ham <= max_hamming
+        return pa.table(
+            {"doc_a": batch["doc_a"].to_numpy(zero_copy_only=False)[keep],
+             "doc_b": batch["doc_b"].to_numpy(zero_copy_only=False)[keep],
+             "hamming": ham[keep]}
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
 def fingerprints(ds):
     """(doc_id, fingerprint) rolling-hash winnowing fingerprint (rows-only)."""
 

@@ -185,3 +185,100 @@ def ann_topk_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, centroids,
     return partials.repartition(1).map_batches(
         lambda b: merge_topk(b, k), batch_format="pyarrow"
     )
+
+
+def embedding_near_dup(ds, threshold: float = 0.9, num_planes: int = 16,
+                       num_parts: int = 16, dim: int = 64, seed: int = 7):
+    """Embedding-cosine near-duplicate pairs: (vec_id_a, vec_id_b, cosine).
+
+    Hyperplane LSH: sign pattern of `num_planes` seeded random hyperplanes
+    buckets the (normalized) embeddings; only bucket-sharing pairs are
+    verified with the exact cosine.  Fully distributed (bucket hash
+    exchange -> per-bucket pairs -> pair dedup -> signature joins), same
+    shape as the MinHash path.  Recall is probabilistic (a near-dup pair
+    lands in the same bucket with prob (1 - theta/pi)^num_planes); the
+    pytest oracle checks no-false-positives + high-similarity recall.
+    Rows-only driver check — cosine is a float reduction with no bit-exact
+    SQL twin.
+    """
+    import pandas as pd
+
+    from ..pipelines.textops import _rename_col
+    from . import exchange
+
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(num_planes, dim)).astype(np.float64)
+
+    def bucket_stage(batch: pa.Table) -> pa.Table:
+        emb = _normalize(batch_embeddings(batch))
+        signs = (emb @ planes.T) > 0.0  # (n, planes)
+        keys = np.zeros(len(emb), dtype=np.uint64)
+        for i in range(num_planes):
+            keys |= signs[:, i].astype(np.uint64) << np.uint64(i)
+        return pa.table(
+            {"vec_id": batch["vec_id"], "bucket": keys.view(np.int64)}
+        )
+
+    buckets = ds.map_batches(bucket_stage, batch_format="pyarrow")
+    bucket_parts = exchange.hash_exchange(buckets, "bucket", num_parts)
+
+    def pairs_in_partition(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id_a": pa.array([], pa.int64()),
+                          "vec_id_b": pa.array([], pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        df = tbl.to_pandas()
+        out_a, out_b = [], []
+        for _, grp in df.groupby("bucket", sort=False):
+            ids = np.unique(grp["vec_id"].to_numpy())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        if not out_a:
+            return empty
+        return pa.table({"vec_id_a": np.asarray(out_a, dtype=np.int64),
+                         "vec_id_b": np.asarray(out_b, dtype=np.int64)})
+
+    cand = exchange.partitions_to_dataset(bucket_parts, pairs_in_partition)
+
+    # pyarrow joins reject list<double> payload columns — carry embeddings
+    # as fixed-width binary through the joins, unpack in the verify
+    def pack(batch: pa.Table) -> pa.Table:
+        emb = batch_embeddings(batch)
+        return pa.table(
+            {"vec_id": batch["vec_id"],
+             "embbin": pa.array([e.tobytes() for e in emb], type=pa.binary())}
+        )
+
+    packed = ds.map_batches(pack, batch_format="pyarrow")
+    j1 = exchange.hash_join(cand, packed, "vec_id_a", num_parts=num_parts,
+                            right_on="vec_id")
+    j1 = j1.map_batches(_rename_col("embbin", "bin_a"), batch_format="pyarrow")
+    j2 = exchange.hash_join(j1, packed, "vec_id_b", num_parts=num_parts,
+                            right_on="vec_id")
+    j2 = j2.map_batches(_rename_col("embbin", "bin_b"), batch_format="pyarrow")
+
+    def _unpack(col) -> np.ndarray:
+        return np.stack(
+            [np.frombuffer(b, dtype=np.float64) for b in col.to_pylist()]
+        )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"vec_id_a": pa.array([], pa.int64()),
+                 "vec_id_b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        ea = _normalize(_unpack(batch["bin_a"]))
+        eb = _normalize(_unpack(batch["bin_b"]))
+        cos = (ea * eb).sum(axis=1)
+        keep = cos >= threshold
+        return pa.table(
+            {"vec_id_a": batch["vec_id_a"].to_numpy(zero_copy_only=False)[keep],
+             "vec_id_b": batch["vec_id_b"].to_numpy(zero_copy_only=False)[keep],
+             "cosine": cos[keep]}
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow")

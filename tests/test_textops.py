@@ -137,3 +137,70 @@ def test_lang_and_quality_deterministic(docs):
     assert ((q1 >= 0) & (q1 <= 1)).all()
     l1 = T.lang_id(docs["text"][:100])
     assert set(np.unique(l1)) <= {"en", "de", "fr", "es", "und"}
+
+
+def test_simhash_properties(docs):
+    a = docs["text"][0]
+    s1 = T.simhash64(a)
+    s2 = T.simhash64(a)
+    assert s1 == s2
+    # small edit -> small hamming; unrelated docs -> larger hamming (usually)
+    near = T.hamming64(np.array([s1]), np.array([T.simhash64(a + " tail")]))[0]
+    assert near <= 16
+    assert T.simhash64("") == np.uint64(0)
+    # popcount sanity
+    assert T.popcount64(np.array([0, 1, 3, 2**63], dtype=np.uint64)).tolist() == [0, 1, 2, 1]
+
+
+def test_simhash_near_dup_vs_bruteforce(ray_session, docs):
+    import ray.data
+
+    from s2_geometry_rust_ray.pipelines import textops
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got = textops.simhash_near_dup(ds, max_hamming=6).to_pandas()
+    sigs = {int(i): T.simhash64(str(t)) for i, t in zip(docs["doc_id"], docs["text"])}
+    got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+    brute = set()
+    ids = sorted(sigs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            if sigs[a] == 0 or sigs[b] == 0:
+                continue
+            if int(T.hamming64(np.array([sigs[a]]), np.array([sigs[b]]))[0]) <= 6:
+                brute.add((a, b))
+    # pigeonhole: hamming <= 6 < 16 guarantees a shared 16-bit band
+    assert got_pairs == brute
+    for _, row in got.iterrows():
+        assert row["hamming"] <= 6
+
+
+def test_embedding_near_dup(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from s2_geometry_rust_ray.stages import simsearch
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(40, 64))
+    # 10 near-duplicate pairs (tiny perturbations) + 20 unrelated vectors
+    pert = base[:10] + rng.normal(scale=0.01, size=(10, 64))
+    emb = np.concatenate([base, pert]).astype(np.float64)
+    ids = np.arange(50, dtype=np.int64)
+    tbl = pa.table({"vec_id": ids, "embedding": list(emb)})
+    ds = ray.data.from_arrow(tbl)
+    got = simsearch.embedding_near_dup(ds, threshold=0.95, num_planes=12).to_pandas()
+    got_pairs = set(zip(got["vec_id_a"], got["vec_id_b"]))
+    # exact ground truth
+    nemb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    want = set()
+    for i in range(50):
+        for j in range(i + 1, 50):
+            if float(nemb[i] @ nemb[j]) >= 0.95:
+                want.add((i, j))
+    # no false positives; near-identical pairs (cos ~0.9999) all recalled
+    assert got_pairs <= want
+    certain = {(i, i + 40) for i in range(10)}
+    assert certain <= want
+    assert len(certain & got_pairs) >= 8  # LSH recall on cos~1 pairs
