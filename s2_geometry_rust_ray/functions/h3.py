@@ -106,12 +106,15 @@ def latlng_to_h3(lat_deg, lng_deg, res: int) -> np.ndarray:
     return xyz_to_h3(pts, res)
 
 
-def _raw_encode(pts: np.ndarray, res: int) -> np.ndarray:
+def _raw_encode(pts: np.ndarray, res: int, return_margin: bool = False):
     """Point -> (face of point, rounded hex in that face's frame).
 
     Every float expression is explicit left-associated mul/adds (no BLAS
     matmul, no linalg.norm) so the DuckDB oracle (oracle/h3_sql.py)
-    reproduces the encode bit-exactly."""
+    reproduces the encode bit-exactly.  With return_margin, also returns
+    the best-vs-second face dot margin (used to SKIP the seam-stability
+    re-encode for points provably far from any face boundary — an
+    output-identical optimization, see xyz_to_h3)."""
     x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
     dots = (
         x[:, None] * FACE_CENTERS[None, :, 0]
@@ -119,6 +122,9 @@ def _raw_encode(pts: np.ndarray, res: int) -> np.ndarray:
         + z[:, None] * FACE_CENTERS[None, :, 2]
     )
     face = dots.argmax(axis=1)
+    if return_margin:
+        top2 = np.partition(dots, dots.shape[1] - 2, axis=1)[:, -2:]
+        margin = top2[:, 1] - top2[:, 0]
     n = FACE_CENTERS[face]
     u = FACE_U[face]
     v = FACE_V[face]
@@ -133,12 +139,15 @@ def _raw_encode(pts: np.ndarray, res: int) -> np.ndarray:
     qf = (_SQRT3 / 3.0) * ar - (1.0 / 3.0) * br
     rf = (2.0 / 3.0) * br
     q, r = _axial_round(qf, rf)
-    return (
+    cells = (
         (U(res) << U(51))
         | (face.astype(U) << U(46))
         | ((q + _OFF).astype(U) << U(23))
         | (r + _OFF).astype(U)
     )
+    if return_margin:
+        return cells, margin
+    return cells
 
 
 def xyz_to_h3(pts: np.ndarray, res: int) -> np.ndarray:
@@ -151,14 +160,25 @@ def xyz_to_h3(pts: np.ndarray, res: int) -> np.ndarray:
     if not (0 <= res <= MAX_RES):
         raise ValueError("res must be 0..15")
     pts = np.asarray(pts, dtype=np.float64)
-    cell = _raw_encode(pts, res)
-    nxt = _raw_encode(h3_to_xyz(cell), res)
-    unstable = np.nonzero(nxt != cell)[0]
+    cell, margin = _raw_encode(pts, res, return_margin=True)
+    # seam prefilter (output-identical): a cell center lies within
+    # gnomonic distance ~2*s of its point, moving each face dot by at most
+    # ~2*s radians-worth; if the best-face margin exceeds 4*s the center's
+    # argmax face cannot change, and a same-face center re-encodes to the
+    # same hex (it sits at the hex CENTER, ~1e-15 from the rounding
+    # boundary at distance 0.5) => e1 == e0 without computing it.  Only
+    # the near-seam minority takes the decode+encode stability pass.
+    s = _S0 / _SQRT7**res
+    check = np.nonzero(margin <= 4.0 * s)[0]
+    if check.size == 0:
+        return cell
+    nxt_sub = _raw_encode(h3_to_xyz(cell[check]), res)
+    unstable = check[np.nonzero(nxt_sub != cell[check])[0]]
     if unstable.size == 0:
         return cell
     # iterate the unstable subset into the cycle, then min over the cycle
-    traj = [cell[unstable], nxt[unstable]]
-    cur = nxt[unstable]
+    traj = [cell[unstable], _raw_encode(h3_to_xyz(cell[unstable]), res)]
+    cur = traj[-1]
     for _ in range(4):
         cur = _raw_encode(h3_to_xyz(cur), res)
         traj.append(cur)

@@ -36,23 +36,79 @@ class PreparedLayer:
         self.interiors = interiors
 
 
-def prepare_layer(layer: dict, covering_max_cells: int = 48,
-                  covering_max_level: int = 14) -> PreparedLayer:
+_PREPARE_CACHE: dict = {}
+
+
+def _layer_digest(layer: dict, extra: tuple) -> str:
+    """Content digest of a polygon layer (vertex bytes, not object ids) so
+    repeated pipelines reuse the driver-side coverer work."""
+    import hashlib
+
+    h = hashlib.md5(repr(extra).encode())
+    for pid in sorted(layer):
+        h.update(str(pid).encode())
+        loops = layer[pid]
+        if isinstance(loops, Polygon):
+            for lp in loops.loops:
+                h.update(lp.v.tobytes())
+        else:
+            for a, b in loops:
+                h.update(np.asarray(a, dtype=np.float64).tobytes())
+                h.update(np.asarray(b, dtype=np.float64).tobytes())
+    return h.hexdigest()
+
+
+def _prepare_one(pid, loops, covering_max_cells: int, covering_max_level: int):
     from ..functions import cellid as _cellid
     from ..geometry import cell_union
     from ..geometry.coverer import PolygonRegion, RegionCoverer
 
     rc = RegionCoverer(max_cells=covering_max_cells, max_level=covering_max_level)
+    poly = loops if isinstance(loops, Polygon) else Polygon.from_loops_latlng_deg(loops)
+    region = PolygonRegion(poly)
+    cov = cell_union.normalize(rc.get_covering(region))
+    icov = cell_union.normalize(rc.get_interior_covering(region))
+    return (
+        pid,
+        poly,
+        (_cellid.range_min(cov), _cellid.range_max(cov)),
+        (_cellid.range_min(icov), _cellid.range_max(icov)),
+    )
+
+
+def prepare_layer(layer: dict, covering_max_cells: int = 48,
+                  covering_max_level: int = 14) -> PreparedLayer:
+    """Coverer runs ONCE per distinct layer content (process-level memo)
+    and the per-polygon coverings are computed as PARALLEL Ray tasks —
+    driver-side serial coverer time was the dominant cost of small PIP
+    jobs (~350 ms/polygon)."""
+    key = _layer_digest(layer, (covering_max_cells, covering_max_level))
+    cached = _PREPARE_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    import ray
+
+    items = list(layer.items())
+    if ray.is_initialized() and len(items) > 2:
+        prep = ray.remote(_prepare_one)
+        results = ray.get([
+            prep.remote(pid, loops, covering_max_cells, covering_max_level)
+            for pid, loops in items
+        ])
+    else:
+        results = [
+            _prepare_one(pid, loops, covering_max_cells, covering_max_level)
+            for pid, loops in items
+        ]
     polys, coverings, interiors = {}, {}, {}
-    for pid, loops in layer.items():
-        poly = loops if isinstance(loops, Polygon) else Polygon.from_loops_latlng_deg(loops)
+    for pid, poly, cov, icov in results:
         polys[pid] = poly
-        region = PolygonRegion(poly)
-        cov = cell_union.normalize(rc.get_covering(region))
-        icov = cell_union.normalize(rc.get_interior_covering(region))
-        coverings[pid] = (_cellid.range_min(cov), _cellid.range_max(cov))
-        interiors[pid] = (_cellid.range_min(icov), _cellid.range_max(icov))
-    return PreparedLayer(polys, coverings, interiors)
+        coverings[pid] = cov
+        interiors[pid] = icov
+    out = PreparedLayer(polys, coverings, interiors)
+    _PREPARE_CACHE[key] = out
+    return out
 
 
 def _ranges_contain(rmin: np.ndarray, rmax: np.ndarray, leaves: np.ndarray) -> np.ndarray:
