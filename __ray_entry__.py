@@ -29,6 +29,20 @@ def _read(sf_dir: str, table: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _images_for_sf(sf_dir: str):
+    """Deterministic synthetic image table sized by sf (cached in /tmp)."""
+    from s2_geometry_rust_ray.sources.images import write_images_dataset
+
+    try:
+        frac = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        frac = 0.001
+    n = max(2000, int(frac * 2_000_000))
+    path = f"/tmp/graft_images_{n}"
+    write_images_dataset(path, n)
+    return path, n
+
+
 def _lineitem_keys(sf_dir: str):
     """lineitem with a unique integer key (l_orderkey*8 + l_linenumber)."""
     import pyarrow.compute as pc
@@ -201,6 +215,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read(sf_dir, "documents", columns=["doc_id"])
         return ppip.within_distance_join(ds, "doc_id", radius_deg=1.5)
 
+    def q_img_tiles(sf_dir: str):
+        # the PRIMARY-table (input_hint images schema) path in the oracle
+        # gate: tile counts over the deterministic synthetic image+caption
+        # table (generated once into /tmp, resumable per-file); the oracle
+        # recovers the integer key from image_id and re-derives the same
+        # geotags through the bit-exact SQL CTE
+        from s2_geometry_rust_ray.pipelines import flagship
+
+        path, _ = _images_for_sf(sf_dir)
+        return flagship.image_tile_counts(path, level=8)
+
+    def q_img_phash(sf_dir: str):
+        # real PNG decode (from-scratch zlib inflate) -> recomputed phash,
+        # oracle = the table's STORED phash column: an end-to-end
+        # oracle-checked run of the multimodal binary-payload path
+        import ray.data
+
+        from s2_geometry_rust_ray.stages import multimodal
+
+        path, _ = _images_for_sf(sf_dir)
+        ds = ray.data.read_parquet(path, columns=["image_id", "bytes", "fmt"])
+        return multimodal.phash_recompute(ds)
+
     def q_cap_bounds(sf_dir: str):
         ds = _read(sf_dir, "documents", columns=["doc_id"])
         return tiling.cap_bounds(ds, "doc_id", level=5)
@@ -219,6 +256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s2_within_join_docs": q_within,
         "s2_boolean_pip_docs": q_boolean,
         "s2_cap_bounds_l5": q_cap_bounds,
+        "img_tile_counts_l8": q_img_tiles,
+        "img_phash_verify": q_img_phash,
         "s2_cell_encode_docs": q_encode_docs,
         "s2_tile_counts_l8": q_tile_l8,
         "s2_tile_counts_l12": q_tile_l12,
@@ -275,6 +314,16 @@ def oracle_sql() -> dict[str, str]:
             DOCS_SRC, "doc_id", *ppip.boolean_fixture_polys(), "doc_id"
         ),
         "s2_cap_bounds_l5": osql.q_cap_bounds(DOCS_SRC, "doc_id", 5),
+        # driver correctness runs at sf0.01 -> 20000-row image table
+        "img_tile_counts_l8": osql.q_tile_counts(
+            "SELECT CAST(substr(image_id, 4) AS BIGINT) AS k "
+            "FROM read_parquet('/tmp/graft_images_20000/*.parquet')",
+            "k", 8,
+        ),
+        "img_phash_verify": (
+            "SELECT image_id, phash "
+            "FROM read_parquet('/tmp/graft_images_20000/*.parquet')"
+        ),
         "s2_cell_encode_docs": osql.q_cell_encode(DOCS_SRC, "doc_id", "doc_id"),
         "s2_tile_counts_l8": osql.q_tile_counts(LINEITEM_SRC, "k", 8),
         "s2_tile_counts_l12": osql.q_tile_counts(LINEITEM_SRC, "k", 12),

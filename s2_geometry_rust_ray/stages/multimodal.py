@@ -111,3 +111,33 @@ def frame_sample_stub(ds, every_n: int = 30):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=64)
+
+
+class PhashRecompute:
+    """Actor stage: REAL PNG decode -> recompute the 64-bit perceptual
+    hash from pixels.  The driver oracle compares the recomputed value
+    against the table's stored phash column, so this is an oracle-checked
+    end-to-end test of the binary-payload decode path (lossless codec =>
+    bit-identical pixels => identical phash)."""
+
+    def __init__(self):
+        from ..sources.images import _phash
+
+        self._phash = _phash
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = np.empty(batch.num_rows, dtype=np.int64)
+        for i, (fmt, blob) in enumerate(
+            zip(batch["fmt"].to_pylist(), batch["bytes"].to_pylist())
+        ):
+            out[i] = self._phash(_decode(fmt, blob))
+        return pa.table({"image_id": batch["image_id"], "phash": out})
+
+
+def phash_recompute(ds, concurrency=(1, 8), batch_size: int = 1024):
+    return ds.map_batches(
+        PhashRecompute,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
