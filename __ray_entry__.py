@@ -347,7 +347,10 @@ def oracle_sql() -> dict[str, str]:
         "s2_pip_join_shuffle_docs": pip_sql.q_pip_join(DOCS_SRC, "doc_id", layer, "doc_id"),
         "doc_token_stats": (
             "SELECT doc_id, length(text)::BIGINT AS n_chars, "
-            "len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens "
+            "len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens, "
+            "len(regexp_extract_all(text, "
+            "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'"
+            "))::BIGINT AS n_bpe_tokens "
             "FROM documents"
         ),
         "doc_exact_dedup": (

@@ -24,6 +24,22 @@ STOPWORDS = frozenset(
 )
 
 
+# GPT-2-style ASCII pretokenizer (contractions, letter runs, digit runs,
+# punctuation runs, whitespace) restricted to constructs with IDENTICAL
+# semantics in Python re and DuckDB RE2 (no \p{}, no lookarounds —
+# verified match over contraction/unicode-free corpora)
+BPE_TOKEN_RE = re.compile(
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+BPE_TOKEN_SQL = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+
+def bpe_token_count(texts: pd.Series) -> np.ndarray:
+    """BPE-ish pretokenizer token count (oracle:
+    len(regexp_extract_all(text, BPE_TOKEN_SQL)))."""
+    return texts.str.count(BPE_TOKEN_RE).to_numpy(dtype=np.int64)
+
+
 def token_count(texts: pd.Series) -> np.ndarray:
     """Number of [A-Za-z0-9]+ tokens (oracle: len(regexp_extract_all(...)))."""
     return texts.str.count(TOKEN_RE).to_numpy(dtype=np.int64)

@@ -21,7 +21,8 @@ from ..stages import agg
 
 
 def token_stats(ds):
-    """(doc_id, n_chars, n_tokens) — oracle: length() + regexp_extract_all."""
+    """(doc_id, n_chars, n_tokens, n_bpe_tokens) — oracle: length() +
+    regexp_extract_all with the word and BPE-ish pretokenizer regexes."""
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -29,6 +30,7 @@ def token_stats(ds):
                 "doc_id": batch["doc_id"],
                 "n_chars": T.char_count(batch["text"]),
                 "n_tokens": T.token_count(batch["text"]),
+                "n_bpe_tokens": T.bpe_token_count(batch["text"]),
             }
         )
 
