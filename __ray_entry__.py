@@ -242,6 +242,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read(sf_dir, "documents", columns=["doc_id"])
         return tiling.cap_bounds(ds, "doc_id", level=5)
 
+    def q_route(sf_dir: str):
+        ds = _read(sf_dir, "documents", columns=["doc_id"])
+        return ppip.route_buffer_join(ds, "doc_id", radius_deg=0.75)
+
     def q_boolean(sf_dir: str):
         ds = _read(sf_dir, "documents", columns=["doc_id"])
         return ppip.boolean_pip_join(ds, "doc_id")
@@ -255,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s2_loop_measures": q_loop_measures,
         "s2_within_join_docs": q_within,
         "s2_boolean_pip_docs": q_boolean,
+        "s2_route_buffer_docs": q_route,
         "s2_cap_bounds_l5": q_cap_bounds,
         "img_tile_counts_l8": q_img_tiles,
         "img_phash_verify": q_img_phash,
@@ -309,6 +314,10 @@ def oracle_sql() -> dict[str, str]:
         "s2_within_join_docs": pip_sql.q_within_distance_join(
             DOCS_SRC, "doc_id", within_polys, "doc_id",
             chord2_from_radians(math.radians(1.5)),
+        ),
+        "s2_route_buffer_docs": pip_sql.q_route_buffer_join(
+            DOCS_SRC, "doc_id", ppip.standard_routes(), "doc_id",
+            chord2_from_radians(math.radians(0.75)),
         ),
         "s2_boolean_pip_docs": pip_sql.q_boolean_pip(
             DOCS_SRC, "doc_id", *ppip.boolean_fixture_polys(), "doc_id"

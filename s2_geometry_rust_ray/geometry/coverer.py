@@ -194,6 +194,31 @@ class PolygonRegion:
 # The coverer
 # ---------------------------------------------------------------------------
 
+class PolylineRegion:
+    """Dim-1 region adapter for route/linear-feature coverings: a cell may
+    intersect iff it holds a polyline vertex or a polyline edge crosses a
+    cell edge; no cell is ever CONTAINED by a 1-D region, so the coverer
+    subdivides to its level limits along the line (S2Polyline-as-region
+    semantics).  Borrows PolygonRegion's vectorized edge-crossing kernel."""
+
+    def __init__(self, line):
+        self.line = line
+        self._va = line.v[:-1]
+        self._vb = line.v[1:]
+        self._en = np.cross(self._va, self._vb)
+
+    _any_edge_crossing = PolygonRegion._any_edge_crossing
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        for p in self.line.v:
+            if cell.contains_point(p):
+                return True
+        return self._any_edge_crossing(cell.vertices())
+
+    def contains_cell(self, cell: Cell) -> bool:
+        return False
+
+
 class RegionCoverer:
     """max_cells default 8, level_mod in {1,2,3}
     (src/region_coverer.rs:204-309)."""

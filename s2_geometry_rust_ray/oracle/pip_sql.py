@@ -93,9 +93,15 @@ def _dist_edges_values(polys: dict[str, Polygon]) -> str:
     stage uses (stages/distance.edge_constants)."""
     from ..stages.distance import edge_constants
 
+    return _dist_edges_values_from_consts(
+        {pid: edge_constants(poly) for pid, poly in polys.items()}
+    )
+
+
+def _dist_edges_values_from_consts(consts: dict) -> str:
     rows = []
-    for pid, poly in polys.items():
-        a, b, n, na, bn, nn = edge_constants(poly)
+    for pid, c in consts.items():
+        a, b, n, na, bn, nn = c
         for e in range(len(a)):
             vals = [
                 flit(v)
@@ -189,3 +195,42 @@ def q_region_join_rects(src_sql: str, key_expr: str, rects: dict, key_name: str)
             + rect.sql_predicate("lat", "lng")
         )
     return cte_encode(src_sql, key_expr) + "\n  " + "\n  UNION ALL ".join(clauses)
+
+
+def q_route_buffer_join(src_sql: str, key_expr: str, routes: dict,
+                        key_name: str, chord2: float) -> str:
+    """(key, route_id) rows with min point-to-polyline-edge chord^2 <= r2
+    — twin of pipelines/pip.route_buffer_join (edge distance only; a
+    polyline has no interior/parity component)."""
+    from ..geometry.polyline import Polyline
+    from ..stages.distance import polyline_edge_constants
+
+    import numpy as np
+
+    consts = {}
+    for rid, line in routes.items():
+        if not isinstance(line, Polyline):
+            line = Polyline.from_latlng_deg(np.asarray(line[0]), np.asarray(line[1]))
+        consts[rid] = polyline_edge_constants(line)
+    c2 = flit(chord2)
+    w = "(p.x*e.nx + p.y*e.ny + p.z*e.nz) / sqrt(e.nn)"
+    wclamp = f"GREATEST(-1.0, LEAST(1.0, {w}))"
+    return (
+        cte_encode(src_sql, key_expr)
+        + f""",
+  __dedges(polygon_id, ax, ay, az, bx, by, bz, nx, ny, nz,
+           nax, nay, naz, bnx, bny, bnz, nn)
+    AS (VALUES {_dist_edges_values_from_consts(consts)}),
+  __edist AS (
+    SELECT p.key, e.polygon_id,
+      min(CASE WHEN (p.x*e.nax + p.y*e.nay + p.z*e.naz) >= 0.0
+                AND (p.x*e.bnx + p.y*e.bny + p.z*e.bnz) >= 0.0
+          THEN 2.0 - 2.0*sqrt(GREATEST(0.0, 1.0 - {wclamp} * {wclamp}))
+          ELSE LEAST(2.0 - 2.0*(p.x*e.ax + p.y*e.ay + p.z*e.az),
+                     2.0 - 2.0*(p.x*e.bx + p.y*e.by + p.z*e.bz)) END) AS d2
+    FROM __xyz p CROSS JOIN __dedges e
+    GROUP BY 1, 2
+  )
+  SELECT key AS {key_name}, polygon_id AS route_id
+  FROM __edist WHERE d2 <= {c2}"""
+    )

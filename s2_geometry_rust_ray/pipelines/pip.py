@@ -62,6 +62,52 @@ def pip_join(ds, key_col: str, layer=None, mode: str = "inner", concurrency=(1, 
     )
 
 
+def standard_routes():
+    """Fixture polylines ('routes') for the route-buffer join: one passing
+    through urban cluster 0, one along the equator cluster band."""
+    import numpy as np
+
+    from ..geometry.polyline import Polyline
+
+    return {
+        "route_nyc": Polyline.from_latlng_deg(
+            np.array([39.5, 40.5, 40.75, 41.2, 42.0]),
+            np.array([-75.5, -74.4, -74.0, -73.6, -72.8]),
+        ),
+        "route_equator": Polyline.from_latlng_deg(
+            np.array([5.5, 6.5, 7.0, 7.5]),
+            np.array([2.0, 3.375, 4.5, 6.0]),
+        ),
+    }
+
+
+def route_buffer_join(ds, key_col: str, routes=None, radius_deg: float = 0.75,
+                      concurrency=(1, 8)):
+    """Points within `radius_deg` of each route polyline — the
+    'images within r of route' join (stages/distance.RouteBufferJoin)."""
+    import math
+
+    from ..geometry.cap import chord2_from_radians
+    from ..stages import distance as dist_stages
+    from ..stages.encode import geotag_and_encode
+
+    if routes is None:
+        routes = standard_routes()
+    radius_rad = math.radians(radius_deg)
+    chord2 = chord2_from_radians(radius_rad)
+    prepared = dist_stages.prepare_polyline_layer(routes, radius_rad, chord2)
+    tagged = ds.map_batches(
+        geotag_and_encode(key_col), batch_format="pyarrow", batch_size=32768
+    )
+    return tagged.map_batches(
+        dist_stages.RouteBufferJoin,
+        fn_constructor_kwargs={"prepared": prepared, "key_col": key_col},
+        batch_format="pyarrow",
+        batch_size=32768,
+        concurrency=concurrency,
+    )
+
+
 def boolean_fixture_polys():
     """Two overlapping squares straddling urban cluster 0 (40.75, -74) —
     the A/B inputs for the boolean-op pipeline and its oracle."""

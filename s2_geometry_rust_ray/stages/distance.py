@@ -45,6 +45,14 @@ class PreparedDistanceLayer:
         self.polys = None  # filled by prepare (needed for the parity path)
 
 
+def _edge_consts_from_ab(a: np.ndarray, b: np.ndarray):
+    n = np.cross(a, b)
+    na = np.cross(n, a)
+    bn = np.cross(b, n)
+    nn = n[:, 0] * n[:, 0] + n[:, 1] * n[:, 1] + n[:, 2] * n[:, 2]
+    return a, b, n, na, bn, nn
+
+
 def edge_constants(poly: Polygon):
     """Per-edge precomputed float arrays (a, b, n, n x a, b x n, |n|^2)
     shared verbatim with the SQL oracle's VALUES literals."""
@@ -55,6 +63,11 @@ def edge_constants(poly: Polygon):
     bn = np.cross(b, n)
     nn = n[:, 0] * n[:, 0] + n[:, 1] * n[:, 1] + n[:, 2] * n[:, 2]
     return a, b, n, na, bn, nn
+
+
+def polyline_edge_constants(line):
+    """Edge constants for a Polyline (open chain: n-1 edges)."""
+    return _edge_consts_from_ab(line.v[:-1], line.v[1:])
 
 
 def points_min_edge_chord2(px, py, pz, consts) -> np.ndarray:
@@ -122,6 +135,83 @@ def prepare_distance_layer(layer: dict, radius_rad: float, chord2: float,
     out = PreparedDistanceLayer(edge_consts, coverings, interiors, chord2)
     out.polys = polys
     return out
+
+
+def prepare_polyline_layer(routes: dict, radius_rad: float, chord2: float,
+                           covering_max_cells: int = 64,
+                           covering_max_level: int = 12):
+    """Broadcast state for the route-buffer join: per polyline the edge
+    constants and radius-expanded covering ranges (dim-1 region: no
+    interior covering, no parity component)."""
+    from ..functions import cellid as _cellid
+    from ..geometry import cell_union
+    from ..geometry.coverer import PolylineRegion, RegionCoverer
+    from ..geometry.polyline import Polyline
+
+    rc = RegionCoverer(max_cells=covering_max_cells, max_level=covering_max_level)
+    consts, coverings = {}, {}
+    for rid, line in routes.items():
+        if not isinstance(line, Polyline):
+            line = Polyline.from_latlng_deg(np.asarray(line[0]), np.asarray(line[1]))
+        consts[rid] = polyline_edge_constants(line)
+        cov = cell_union.normalize(rc.get_covering(PolylineRegion(line)))
+        cov = cell_union.expand_with_radius(cov, radius_rad)
+        coverings[rid] = (_cellid.range_min(cov), _cellid.range_max(cov))
+    out = PreparedDistanceLayer(consts, coverings, None, chord2)
+    return out
+
+
+class RouteBufferJoin:
+    """Actor-pool stage: (key, route_id) for points within r of a
+    polyline — the 'images within r of route' join (min edge chord^2 only;
+    a 1-D region has no interior)."""
+
+    def __init__(self, prepared, key_col: str = "k"):
+        import ray
+
+        if isinstance(prepared, ray.ObjectRef):
+            prepared = ray.get(prepared)
+        self.p = prepared
+        self.key_col = key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions import cellid as _cellid
+        from .pip import _face_ij_of, _ranges_contain
+
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        x, y, z = latlng_deg_to_xyz(lat, lng)
+        keys = batch[self.key_col].to_numpy(zero_copy_only=False)
+        if "cell_id" in batch.schema.names:
+            leaves = batch["cell_id"].to_numpy(zero_copy_only=False)
+        else:
+            leaves = _cellid.from_face_ij(*_face_ij_of(x, y, z))
+
+        out_keys, out_rids = [], []
+        for rid, consts in self.p.edge_consts.items():
+            rmin, rmax = self.p.coverings[rid]
+            cand = _ranges_contain(rmin, rmax, leaves)
+            if not cand.any():
+                continue
+            idx = np.nonzero(cand)[0]
+            d2 = points_min_edge_chord2(x[idx], y[idx], z[idx], consts)
+            hit = idx[d2 <= self.p.chord2]
+            if hit.size:
+                out_keys.append(keys[np.sort(hit)])
+                out_rids.append(np.full(hit.size, rid, dtype=object))
+
+        if out_keys:
+            k = np.concatenate(out_keys)
+            r = np.concatenate(out_rids)
+            order = np.argsort(k, kind="stable")
+            return pa.table(
+                {self.key_col: k[order],
+                 "route_id": pa.array(r[order], type=pa.string())}
+            )
+        return pa.table(
+            {self.key_col: pa.array([], type=batch[self.key_col].type),
+             "route_id": pa.array([], type=pa.string())}
+        )
 
 
 class WithinDistanceJoin:

@@ -128,3 +128,38 @@ def test_cell_union_varint_roundtrip():
     dec = cell_union.decode_varint(enc)
     assert np.array_equal(dec, cov)
     assert len(enc) < 8 * len(cov)  # beats raw fixed-width
+
+
+def test_route_buffer_join(ray_session):
+    import math
+
+    import ray.data
+
+    from s2_geometry_rust_ray.functions import geo
+    from s2_geometry_rust_ray.pipelines import pip as ppip
+    from s2_geometry_rust_ray.stages import distance as DD
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    )
+    routes = ppip.standard_routes()
+    got = ppip.route_buffer_join(ds, "doc_id", routes=routes,
+                                 radius_deg=0.75).to_pandas()
+    # brute force: min edge chord^2 per (doc, route)
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    lat, lng = geo.derive_latlng(ids)
+    from s2_geometry_rust_ray.functions.coords import latlng_deg_to_xyz
+    from s2_geometry_rust_ray.geometry.cap import chord2_from_radians
+
+    x, y, z = latlng_deg_to_xyz(lat, lng)
+    c2 = chord2_from_radians(math.radians(0.75))
+    want = set()
+    for rid, line in routes.items():
+        d2 = DD.points_min_edge_chord2(x, y, z, DD.polyline_edge_constants(line))
+        for i in np.nonzero(d2 <= c2)[0]:
+            want.add((int(ids[i]), rid))
+    assert set(zip(got["doc_id"], got["route_id"])) == want
+    assert len(want) > 0
