@@ -166,6 +166,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_near_dup(sf_dir: str):
         return textops.near_dup_pairs(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
+    def q_char_ngram_dedup(sf_dir: str):
+        # char-4-gram Jaccard near-dup (mandate's "n-gram Jaccard" entry) —
+        # the same distributed MinHash-LSH plan parameterized by shingle
+        # mode, with its own bit-exact SQL twin
+        return textops.near_dup_pairs(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            threshold=0.6, shingle_k=4, shingle_mode="char",
+        )
+
     def q_simhash(sf_dir: str):
         return textops.simhash_table(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
@@ -283,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_purchase_view": q_asof,
         "doc_quality": q_quality,
         "doc_near_dup_pairs": q_near_dup,
+        "doc_char_ngram_dedup": q_char_ngram_dedup,
         "doc_simhash": q_simhash,
         "doc_simhash_near_dup": q_simhash_near_dup,
         "doc_fingerprints": q_fingerprints,
@@ -391,6 +401,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2"
         ),
         "doc_near_dup_pairs": osql.q_near_dup_pairs(),
+        "doc_char_ngram_dedup": osql.q_near_dup_pairs(
+            threshold=0.6, k=4, mode="char"
+        ),
         "doc_simhash": osql.q_simhash(),
         "doc_simhash_near_dup": osql.q_simhash_near_dup(),
         "h3_tile_counts_r5": h3_sql.q_h3_tile_counts(LINEITEM_SRC, "k", 5),

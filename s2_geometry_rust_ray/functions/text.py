@@ -127,8 +127,16 @@ def fingerprint(texts: pd.Series, window: int = 8) -> np.ndarray:
     return out
 
 
-def shingles(text: str, k: int = 5) -> set[str]:
-    """Word k-shingles (lowercased token windows)."""
+def shingles(text: str, k: int = 5, mode: str = "word") -> set[str]:
+    """k-shingles: mode='word' (lowercased token windows, joined by a
+    space) or mode='char' (lowercased raw-character k-grams).  Oracle
+    twins: word -> array_to_string over token list windows; char ->
+    substr(lower(text), i, k) windows."""
+    if mode == "char":
+        low = text.lower()
+        if len(low) < k:
+            return {low} if low else set()
+        return {low[i : i + k] for i in range(len(low) - k + 1)}
     toks = [t.lower() for t in TOKEN_RE.findall(text)]
     if len(toks) < k:
         return {" ".join(toks)} if toks else set()
@@ -155,23 +163,24 @@ def minhash_consts(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+def shingle_hashes(text: str, k: int = 5, mode: str = "word") -> np.ndarray:
     """Distinct shingles md5-hashed to uint64 (first 16 hex chars).
     Oracle twin: ('0x' || substr(md5(s),1,16))::UBIGINT."""
-    sh = shingles(text, k)
+    sh = shingles(text, k, mode)
     return np.array(
         [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16) for s in sh],
         dtype=np.uint64,
     )
 
 
-def minhash_signature(text: str, num_hashes: int = 32, k: int = 5) -> np.ndarray:
+def minhash_signature(text: str, num_hashes: int = 32, k: int = 5,
+                      mode: str = "word") -> np.ndarray:
     """MinHash signature (uint64 values < 2^31): one md5 per distinct
     shingle, then num_hashes vectorized universal-hash permutations over
     GF(2^31-1) — no per-(shingle x hash) Python loop.  Empty shingle sets
     return the sentinel p (impossible hash value)."""
     p = np.uint64(MINHASH_P)
-    x = shingle_hashes(text, k) % p
+    x = shingle_hashes(text, k, mode) % p
     if len(x) == 0:
         return np.full(num_hashes, p, dtype=np.uint64)
     a, b = minhash_consts(num_hashes)

@@ -164,15 +164,27 @@ def q_face_histogram(src_sql: str, key_expr: str) -> str:
 
 
 def q_near_dup_pairs(num_hashes: int = 32, band_size: int = 4,
-                     threshold: float = 0.5) -> str:
+                     threshold: float = 0.5, k: int = 5,
+                     mode: str = "word") -> str:
     """Full SQL twin of pipelines/textops.near_dup_pairs over `documents`:
-    shingle -> md5 -> universal-hash minhash (mod 2^31-1) -> bands ->
-    bucket self-join -> exact Jaccard >= threshold.  Every arithmetic step
-    stays below 2^62, so BIGINT math matches the engine's uint64 math
-    exactly; jaccard is one IEEE division of exact integers (bit-exact)."""
+    shingle (word windows or raw char k-grams) -> md5 -> universal-hash
+    minhash (mod 2^31-1) -> bands -> bucket self-join -> exact Jaccard >=
+    threshold.  Every arithmetic step stays below 2^62, so BIGINT math
+    matches the engine's uint64 math exactly; jaccard is one IEEE division
+    of exact integers (bit-exact)."""
     p = 2147483647
-    k = 5  # word shingle width (functions/text.shingles default)
-    return f"""WITH toks AS (
+    if mode == "char":
+        shing = f"""shing AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, length(lower(text)) - {k - 2}),
+                                 i -> substr(lower(text), i, {k}))) AS s
+    FROM documents WHERE length(text) >= {k}
+    UNION ALL
+    SELECT doc_id, lower(text) AS s
+    FROM documents WHERE length(text) BETWEEN 1 AND {k - 1}
+  ),"""
+    else:
+        shing = f"""toks AS (
     SELECT doc_id,
            list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
                           t -> lower(t)) AS w
@@ -186,7 +198,8 @@ def q_near_dup_pairs(num_hashes: int = 32, band_size: int = 4,
     UNION ALL
     SELECT doc_id, array_to_string(w, ' ') AS s
     FROM toks WHERE len(w) BETWEEN 1 AND {k - 1}
-  ),
+  ),"""
+    return f"""WITH {shing}
   sh AS (SELECT DISTINCT doc_id, s FROM shing),
   hx AS (
     SELECT doc_id,

@@ -88,7 +88,8 @@ def _rename_col(old: str, new: str):
 
 
 def near_dup_pairs(ds, num_hashes: int = 32, band_size: int = 4,
-                   threshold: float = 0.5, num_parts: int = 16):
+                   threshold: float = 0.5, num_parts: int = 16,
+                   shingle_k: int = 5, shingle_mode: str = "word"):
     """MinHash-LSH near-duplicate pairs: (doc_a, doc_b, jaccard).
 
     shingle(5-gram words) -> md5 per distinct shingle -> num_hashes
@@ -113,7 +114,7 @@ def near_dup_pairs(ds, num_hashes: int = 32, band_size: int = 4,
     def band_stage(batch: pd.DataFrame) -> pd.DataFrame:
         out_doc, out_bucket = [], []
         for doc_id, txt in zip(batch["doc_id"], batch["text"]):
-            sig = T.minhash_signature(str(txt), num_hashes)
+            sig = T.minhash_signature(str(txt), num_hashes, shingle_k, shingle_mode)
             if sig[0] == sentinel:  # no shingles -> cannot near-dup
                 continue
             for b in range(n_bands):
@@ -172,7 +173,8 @@ def near_dup_pairs(ds, num_hashes: int = 32, band_size: int = 4,
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         ja = np.empty(len(batch), dtype=np.float64)
         for n, (ta, tb) in enumerate(zip(batch["text_a"], batch["text_b"])):
-            sa, sb = T.shingles(str(ta)), T.shingles(str(tb))
+            sa = T.shingles(str(ta), shingle_k, shingle_mode)
+            sb = T.shingles(str(tb), shingle_k, shingle_mode)
             union = len(sa | sb)
             ja[n] = len(sa & sb) / union if union else 1.0
         out = batch.assign(jaccard=ja)
