@@ -29,15 +29,17 @@ def _read(sf_dir: str, table: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+IMG_TABLE_ROWS = 20_000  # fixed size: the oracle SQL (static strings, no
+# sf parameter) must read the SAME files the engine queries read at any sf
+
+
 def _images_for_sf(sf_dir: str):
-    """Deterministic synthetic image table sized by sf (cached in /tmp)."""
+    """Deterministic synthetic image table (cached in /tmp).  Fixture-sized
+    like the polygon/route layers — NOT scaled by sf — so the engine query
+    and the path-embedding oracle always agree."""
     from s2_geometry_rust_ray.sources.images import write_images_dataset
 
-    try:
-        frac = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    except ValueError:
-        frac = 0.001
-    n = max(2000, int(frac * 2_000_000))
+    n = IMG_TABLE_ROWS
     path = f"/tmp/graft_images_{n}"
     write_images_dataset(path, n)
     return path, n
@@ -305,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from s2_geometry_rust_ray.functions import text as _text
     from s2_geometry_rust_ray.oracle import h3_sql, knn_sql, pip_sql
     from s2_geometry_rust_ray.oracle import sql as osql
     from s2_geometry_rust_ray.pipelines import pip as ppip
@@ -333,15 +336,14 @@ def oracle_sql() -> dict[str, str]:
             DOCS_SRC, "doc_id", *ppip.boolean_fixture_polys(), "doc_id"
         ),
         "s2_cap_bounds_l5": osql.q_cap_bounds(DOCS_SRC, "doc_id", 5),
-        # driver correctness runs at sf0.01 -> 20000-row image table
         "img_tile_counts_l8": osql.q_tile_counts(
             "SELECT CAST(substr(image_id, 4) AS BIGINT) AS k "
-            "FROM read_parquet('/tmp/graft_images_20000/*.parquet')",
+            f"FROM read_parquet('/tmp/graft_images_{IMG_TABLE_ROWS}/*.parquet')",
             "k", 8,
         ),
         "img_phash_verify": (
             "SELECT image_id, phash "
-            "FROM read_parquet('/tmp/graft_images_20000/*.parquet')"
+            f"FROM read_parquet('/tmp/graft_images_{IMG_TABLE_ROWS}/*.parquet')"
         ),
         "s2_cell_encode_docs": osql.q_cell_encode(DOCS_SRC, "doc_id", "doc_id"),
         "s2_tile_counts_l8": osql.q_tile_counts(LINEITEM_SRC, "k", 8),
@@ -368,7 +370,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, length(text)::BIGINT AS n_chars, "
             "len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens, "
             "len(regexp_extract_all(text, "
-            "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'"
+            f"'{_text.BPE_TOKEN_SQL.replace(chr(39), chr(39) * 2)}'"
             "))::BIGINT AS n_bpe_tokens "
             "FROM documents"
         ),

@@ -173,11 +173,13 @@ def xyz_to_h3(pts: np.ndarray, res: int) -> np.ndarray:
     if check.size == 0:
         return cell
     nxt_sub = _raw_encode(h3_to_xyz(cell[check]), res)
-    unstable = check[np.nonzero(nxt_sub != cell[check])[0]]
-    if unstable.size == 0:
+    flipped = np.nonzero(nxt_sub != cell[check])[0]
+    if flipped.size == 0:
         return cell
+    unstable = check[flipped]
     # iterate the unstable subset into the cycle, then min over the cycle
-    traj = [cell[unstable], _raw_encode(h3_to_xyz(cell[unstable]), res)]
+    # (first iterate already computed above)
+    traj = [cell[unstable], nxt_sub[flipped]]
     cur = traj[-1]
     for _ in range(4):
         cur = _raw_encode(h3_to_xyz(cur), res)

@@ -16,9 +16,12 @@ from ..functions import cellid
 U = np.uint64
 
 
-def normalize(ids: np.ndarray) -> np.ndarray:
+def normalize(ids: np.ndarray, min_level: int = 0, level_mod: int = 1) -> np.ndarray:
     """Sort, dedup, drop contained cells, merge 4 siblings -> parent
-    (src/cell_union.rs:600-629)."""
+    (src/cell_union.rs:600-629).  With level constraints (used by
+    canonicalize_covering), sibling quadruples are merged ONLY when the
+    parent level stays >= min_level and on the level_mod grid — otherwise
+    the merge would re-violate the coverer's constraints."""
     ids = np.unique(np.asarray(ids, dtype=U))  # sorts
     if ids.size == 0:
         return ids
@@ -57,6 +60,9 @@ def normalize(ids: np.ndarray) -> np.ndarray:
             & (cellid.level(a) == cellid.level(c))
             & (cellid.level(a) == cellid.level(d))
         )
+        if min_level > 0 or level_mod > 1:
+            plv = cellid.level(a).astype(np.int64) - 1
+            cand &= (plv >= min_level) & ((plv - min_level) % level_mod == 0)
         first = np.nonzero(cand)[0]
         if first.size == 0:
             return ids

@@ -248,7 +248,9 @@ class RegionCoverer:
             return False
         if ((lv.astype(np.int64) - self.min_level) % self.level_mod != 0).any():
             return False
-        return np.array_equal(cell_union.normalize(ids), ids)
+        return np.array_equal(
+            cell_union.normalize(ids, self.min_level, self.level_mod), ids
+        )
 
     def canonicalize_covering(self, ids: np.ndarray) -> np.ndarray:
         """Adjust a covering to satisfy the constraints WITHOUT shrinking
@@ -283,7 +285,9 @@ class RegionCoverer:
                 if tgt != lv:
                     cid = int(cellid.parent(np.array([cid], U), tgt)[0])
                 out.append(cid)
-        ids = cell_union.normalize(np.array(out, dtype=U))
+        ids = cell_union.normalize(
+            np.array(out, dtype=U), self.min_level, self.level_mod
+        )
         # reduce count by merging at the deepest common ancestor
         while ids.size > self.max_cells:
             best_i, best_lvl = -1, -2
@@ -295,7 +299,9 @@ class RegionCoverer:
                 break  # cannot merge further within constraints
             anc_lvl = self._adjust_level(best_lvl)
             anc = cellid.parent(ids[best_i : best_i + 1], anc_lvl)
-            ids = cell_union.normalize(np.concatenate([ids, anc]))
+            ids = cell_union.normalize(
+                np.concatenate([ids, anc]), self.min_level, self.level_mod
+            )
         return ids
 
     def _covering(self, region, interior: bool) -> np.ndarray:

@@ -59,24 +59,48 @@ class LatLngRect:
         return LatLngRect(self.lat.union(other.lat), self.lng.union(other.lng))
 
     def distance_to_latlng_rad(self, lat_rad: float, lng_rad: float) -> float:
-        """Min distance (radians) from a point to the rect: 0 if inside,
-        else great-circle distance to the projected boundary point
-        (src/latlng_rect.rs:486-500 GetDistanceToPoint semantics)."""
+        """EXACT min distance (radians) from a point to the rect boundary
+        region (canonical s2latlngrect.cc GetDistance(S2LatLng) structure,
+        NOT the port's lat/lng-space projection at
+        src/latlng_rect.rs:486-500 which overestimates near meridian
+        edges): 0 inside; if the point's longitude is within the lng span
+        the nearest boundary point lies straight along the meridian
+        (distance = delta lat); otherwise the nearest point is on one of
+        the two MERIDIAN edges — a great-circle arc, measured with the
+        exact point-to-arc distance (the geodesic foot generally sits at a
+        different latitude than the query point)."""
         import math
 
+        if self.is_empty():
+            return math.pi
         if self.lat.contains(lat_rad) and self.lng.contains(lng_rad):
             return 0.0
-        plat = self.lat.project(lat_rad)
-        plng = self.lng.project(lng_rad)
-        # chord distance between the two lat/lngs
-        ax = math.cos(lat_rad) * math.cos(lng_rad)
-        ay = math.cos(lat_rad) * math.sin(lng_rad)
-        az = math.sin(lat_rad)
-        bx = math.cos(plat) * math.cos(plng)
-        by = math.cos(plat) * math.sin(plng)
-        bz = math.sin(plat)
-        c2 = (ax - bx) ** 2 + (ay - by) ** 2 + (az - bz) ** 2
-        return 2.0 * math.asin(0.5 * math.sqrt(min(4.0, c2)))
+        best = math.inf
+        if self.lng.contains(lng_rad):
+            if lat_rad > self.lat.hi:
+                best = lat_rad - self.lat.hi
+            elif lat_rad < self.lat.lo:
+                best = self.lat.lo - lat_rad
+        if not self.lng.is_full():
+            import numpy as np
+
+            from .cap import radians_from_chord2
+            from .coverer import _point_to_arc_chord2
+
+            def xyz(la, ln):
+                return np.array(
+                    [math.cos(la) * math.cos(ln),
+                     math.cos(la) * math.sin(ln),
+                     math.sin(la)]
+                )
+
+            p = xyz(lat_rad, lng_rad)
+            for lng_e in (self.lng.lo, self.lng.hi):
+                a = xyz(self.lat.lo, lng_e)
+                b = xyz(self.lat.hi, lng_e)
+                d2 = _point_to_arc_chord2(p, a, b, np.cross(a, b))
+                best = min(best, radians_from_chord2(d2))
+        return best
 
     def distance_to_rect_rad(self, other: "LatLngRect") -> float:
         """Min distance between two rects: 0 when intersecting, else min

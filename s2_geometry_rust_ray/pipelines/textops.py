@@ -127,48 +127,14 @@ def near_dup_pairs(ds, num_hashes: int = 32, band_size: int = 4,
         return pd.DataFrame({"doc_id": out_doc, "bucket": out_bucket})
 
     bands = ds.map_batches(band_stage, batch_format="pandas")
-    bucket_parts = exchange.hash_exchange(bands, "bucket", num_parts)
-
-    def pairs_in_partition(tbl: pa.Table) -> pa.Table:
-        empty = pa.table({"doc_a": pa.array([], pa.int64()),
-                          "doc_b": pa.array([], pa.int64())})
-        if tbl.num_rows == 0:
-            return empty
-        df = tbl.to_pandas()
-        out_a, out_b = [], []
-        for _, grp in df.groupby("bucket", sort=False):
-            ids = np.unique(grp["doc_id"].to_numpy())
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        if not out_a:
-            return empty
-        t = pa.table({"doc_a": np.asarray(out_a, dtype=np.int64),
-                      "doc_b": np.asarray(out_b, dtype=np.int64)})
-        return t.group_by(["doc_a", "doc_b"]).aggregate([]).sort_by("doc_a")
-
-    cand = exchange.partitions_to_dataset(bucket_parts, pairs_in_partition)
-    # global pair dedup: a pair found in several bands may land in several
-    # bucket partitions; co-locate by hash(doc_a) (identical pairs share
-    # doc_a) and drop duplicates per partition — stays distributed
-    pair_parts = exchange.hash_exchange(cand, "doc_a", num_parts)
-
-    def dedup_part(tbl: pa.Table) -> pa.Table:
-        if tbl.num_rows == 0:
-            return tbl
-        return tbl.group_by(["doc_a", "doc_b"]).aggregate([])
-
-    cand = exchange.partitions_to_dataset(pair_parts, dedup_part)
-
+    cand = exchange.lsh_candidate_pairs(
+        bands, "doc_id", "bucket", num_parts, "doc_a", "doc_b"
+    )
     # fetch candidate texts via hash-partitioned joins (never broadcast)
     docs = ds.select_columns(["doc_id", "text"])
-    j1 = exchange.hash_join(cand, docs, "doc_a", num_parts=num_parts,
-                            right_on="doc_id")
-    j1 = j1.map_batches(_rename_col("text", "text_a"), batch_format="pyarrow")
-    j2 = exchange.hash_join(j1, docs, "doc_b", num_parts=num_parts,
-                            right_on="doc_id")
-    j2 = j2.map_batches(_rename_col("text", "text_b"), batch_format="pyarrow")
+    j2 = exchange.attach_pair_payloads(
+        cand, docs, "doc_id", "text", "doc_a", "doc_b", num_parts
+    )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         ja = np.empty(len(batch), dtype=np.float64)
@@ -226,48 +192,17 @@ def simhash_near_dup(ds, max_hamming: int = 7, num_parts: int = 16):
         return pd.DataFrame({"doc_id": out_doc, "bucket": out_bucket})
 
     bands = ds.map_batches(band_stage, batch_format="pandas")
-    bucket_parts = exchange.hash_exchange(bands, "bucket", num_parts)
-
-    def pairs_in_partition(tbl: pa.Table) -> pa.Table:
-        empty = pa.table({"doc_a": pa.array([], pa.int64()),
-                          "doc_b": pa.array([], pa.int64())})
-        if tbl.num_rows == 0:
-            return empty
-        df = tbl.to_pandas()
-        out_a, out_b = [], []
-        for _, grp in df.groupby("bucket", sort=False):
-            ids = np.unique(grp["doc_id"].to_numpy())
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        if not out_a:
-            return empty
-        t = pa.table({"doc_a": np.asarray(out_a, dtype=np.int64),
-                      "doc_b": np.asarray(out_b, dtype=np.int64)})
-        return t.group_by(["doc_a", "doc_b"]).aggregate([])
-
-    cand = exchange.partitions_to_dataset(bucket_parts, pairs_in_partition)
-    pair_parts = exchange.hash_exchange(cand, "doc_a", num_parts)
-
-    def dedup_part(tbl: pa.Table) -> pa.Table:
-        if tbl.num_rows == 0:
-            return tbl
-        return tbl.group_by(["doc_a", "doc_b"]).aggregate([])
-
-    cand = exchange.partitions_to_dataset(pair_parts, dedup_part)
-
+    cand = exchange.lsh_candidate_pairs(
+        bands, "doc_id", "bucket", num_parts, "doc_a", "doc_b"
+    )
     sigs = simhash_table(ds)
-    j1 = exchange.hash_join(cand, sigs, "doc_a", num_parts=num_parts,
-                            right_on="doc_id")
-    j1 = j1.map_batches(_rename_col("simhash", "sig_a"), batch_format="pyarrow")
-    j2 = exchange.hash_join(j1, sigs, "doc_b", num_parts=num_parts,
-                            right_on="doc_id")
-    j2 = j2.map_batches(_rename_col("simhash", "sig_b"), batch_format="pyarrow")
+    j2 = exchange.attach_pair_payloads(
+        cand, sigs, "doc_id", "simhash", "doc_a", "doc_b", num_parts
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
-        a = batch["sig_a"].to_numpy(zero_copy_only=False).view(np.uint64)
-        b = batch["sig_b"].to_numpy(zero_copy_only=False).view(np.uint64)
+        a = batch["simhash_a"].to_numpy(zero_copy_only=False).view(np.uint64)
+        b = batch["simhash_b"].to_numpy(zero_copy_only=False).view(np.uint64)
         ham = T.hamming64(a, b)
         keep = ham <= max_hamming
         return pa.table(

@@ -53,6 +53,10 @@ def _hash_keys(k: np.ndarray) -> np.ndarray:
 
 
 def _hash_part(table: pa.Table, key_col: str, num_parts: int) -> list[pa.Table]:
+    if table.num_rows == 0:
+        # empty blocks may even lack columns (e.g. a filter that dropped
+        # everything); emit schema-preserving empty slices
+        return [table.slice(0, 0)] * num_parts
     k = table[key_col].to_numpy(zero_copy_only=False)
     h = _hash_keys(k)
     part = (h % np.uint64(num_parts)).astype(np.int64)
@@ -78,6 +82,15 @@ def hash_exchange(ds, key_col: str, num_parts: int):
         return pa.concat_tables(shards, promote_options="default")
 
     block_refs = ds.to_arrow_refs()
+    if not block_refs:
+        # zero-block dataset: emit schema-ful empties (concat_tables of
+        # nothing raises; downstream still needs a stable schema)
+        schema = ds.schema()
+        arrow_schema = getattr(schema, "base_schema", None) if schema else None
+        if arrow_schema is None:
+            arrow_schema = pa.schema([(key_col, pa.null())])
+        empty = ray.put(arrow_schema.empty_table())
+        return [empty for _ in range(num_parts)]
     # static num_returns: submission returns refs immediately — no blocking,
     # all map tasks in flight before the first reduce is scheduled
     split_n = split.options(num_returns=num_parts) if num_parts > 1 else split
@@ -164,6 +177,69 @@ def hash_join(left_ds, right_ds, key_col: str, num_parts: int = 32,
     if not refs:
         refs = [pairs[0][0]]
     return ray.data.from_arrow_refs(refs)
+
+
+def rename_column(old: str, new: str):
+    """map_batches fn renaming one column (pyarrow batch format)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.rename_columns([new if c == old else c for c in t.column_names])
+
+    return fn
+
+
+def lsh_candidate_pairs(bands_ds, id_col: str, bucket_col: str,
+                        num_parts: int, a_col: str, b_col: str):
+    """The shared LSH candidate scaffolding: hash-exchange (id, bucket)
+    rows by bucket, emit all within-bucket id pairs (a < b) per partition,
+    then dedup pairs globally co-located by hash(a) — identical pairs from
+    different bands always share their `a` id, so the dedup stays fully
+    distributed.  Returns a Dataset (a_col:int64, b_col:int64)."""
+    import pandas as pd
+
+    bucket_parts = hash_exchange(bands_ds, bucket_col, num_parts)
+
+    def pairs_in_partition(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({a_col: pa.array([], pa.int64()),
+                          b_col: pa.array([], pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        df = tbl.to_pandas()
+        out_a, out_b = [], []
+        for _, grp in df.groupby(bucket_col, sort=False):
+            ids = np.unique(grp[id_col].to_numpy())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        if not out_a:
+            return empty
+        t = pa.table({a_col: np.asarray(out_a, dtype=np.int64),
+                      b_col: np.asarray(out_b, dtype=np.int64)})
+        return t.group_by([a_col, b_col]).aggregate([])
+
+    cand = partitions_to_dataset(bucket_parts, pairs_in_partition)
+    pair_parts = hash_exchange(cand, a_col, num_parts)
+
+    def dedup_part(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        return tbl.group_by([a_col, b_col]).aggregate([])
+
+    return partitions_to_dataset(pair_parts, dedup_part)
+
+
+def attach_pair_payloads(cand, src_ds, id_col: str, payload_col: str,
+                         a_col: str, b_col: str, num_parts: int):
+    """Join a candidate-pair Dataset back to a source table TWICE to pull
+    the payload column for both pair members (columns {payload}_a /
+    {payload}_b).  Hash-partitioned joins — never a broadcast."""
+    j1 = hash_join(cand, src_ds, a_col, num_parts=num_parts, right_on=id_col)
+    j1 = j1.map_batches(rename_column(payload_col, f"{payload_col}_a"),
+                        batch_format="pyarrow")
+    j2 = hash_join(j1, src_ds, b_col, num_parts=num_parts, right_on=id_col)
+    return j2.map_batches(rename_column(payload_col, f"{payload_col}_b"),
+                          batch_format="pyarrow")
 
 
 def hot_key_histogram(ds, key_col: str, top_n: int = 64):

@@ -201,9 +201,6 @@ def embedding_near_dup(ds, threshold: float = 0.9, num_planes: int = 16,
     Rows-only driver check — cosine is a float reduction with no bit-exact
     SQL twin.
     """
-    import pandas as pd
-
-    from ..pipelines.textops import _rename_col
     from . import exchange
 
     rng = np.random.default_rng(seed)
@@ -220,27 +217,9 @@ def embedding_near_dup(ds, threshold: float = 0.9, num_planes: int = 16,
         )
 
     buckets = ds.map_batches(bucket_stage, batch_format="pyarrow")
-    bucket_parts = exchange.hash_exchange(buckets, "bucket", num_parts)
-
-    def pairs_in_partition(tbl: pa.Table) -> pa.Table:
-        empty = pa.table({"vec_id_a": pa.array([], pa.int64()),
-                          "vec_id_b": pa.array([], pa.int64())})
-        if tbl.num_rows == 0:
-            return empty
-        df = tbl.to_pandas()
-        out_a, out_b = [], []
-        for _, grp in df.groupby("bucket", sort=False):
-            ids = np.unique(grp["vec_id"].to_numpy())
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        if not out_a:
-            return empty
-        return pa.table({"vec_id_a": np.asarray(out_a, dtype=np.int64),
-                         "vec_id_b": np.asarray(out_b, dtype=np.int64)})
-
-    cand = exchange.partitions_to_dataset(bucket_parts, pairs_in_partition)
+    cand = exchange.lsh_candidate_pairs(
+        buckets, "vec_id", "bucket", num_parts, "vec_id_a", "vec_id_b"
+    )
 
     # pyarrow joins reject list<double> payload columns — carry embeddings
     # as fixed-width binary through the joins, unpack in the verify
@@ -252,12 +231,9 @@ def embedding_near_dup(ds, threshold: float = 0.9, num_planes: int = 16,
         )
 
     packed = ds.map_batches(pack, batch_format="pyarrow")
-    j1 = exchange.hash_join(cand, packed, "vec_id_a", num_parts=num_parts,
-                            right_on="vec_id")
-    j1 = j1.map_batches(_rename_col("embbin", "bin_a"), batch_format="pyarrow")
-    j2 = exchange.hash_join(j1, packed, "vec_id_b", num_parts=num_parts,
-                            right_on="vec_id")
-    j2 = j2.map_batches(_rename_col("embbin", "bin_b"), batch_format="pyarrow")
+    j2 = exchange.attach_pair_payloads(
+        cand, packed, "vec_id", "embbin", "vec_id_a", "vec_id_b", num_parts
+    )
 
     def _unpack(col) -> np.ndarray:
         return np.stack(
@@ -271,8 +247,8 @@ def embedding_near_dup(ds, threshold: float = 0.9, num_planes: int = 16,
                  "vec_id_b": pa.array([], pa.int64()),
                  "cosine": pa.array([], pa.float64())}
             )
-        ea = _normalize(_unpack(batch["bin_a"]))
-        eb = _normalize(_unpack(batch["bin_b"]))
+        ea = _normalize(_unpack(batch["embbin_a"]))
+        eb = _normalize(_unpack(batch["embbin_b"]))
         cos = (ea * eb).sum(axis=1)
         keep = cos >= threshold
         return pa.table(

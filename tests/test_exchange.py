@@ -137,3 +137,20 @@ def test_salted_cell_key_roundtrip():
             assert len(np.unique(salted)) > 1  # spread
         else:
             assert len(np.unique(salted)) == 1
+
+
+def test_hash_exchange_zero_blocks(ray_session):
+    """A zero-block dataset must yield schema-ful empty partitions, not an
+    ArrowInvalid from concat_tables(())."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    src = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    src = src.filter(lambda r: False)  # may drop to zero blocks
+    parts = exchange.hash_exchange(src, "k", 4)
+    tables = ray.get(parts)
+    assert len(tables) == 4
+    assert all(t.num_rows == 0 for t in tables)
+    out = exchange.partitions_to_dataset(parts)
+    assert out.count() == 0
