@@ -21,6 +21,7 @@ to the <1%-of-rows uncertain band (src/lib.rs:71).
 
 from __future__ import annotations
 
+import math
 from fractions import Fraction
 
 import numpy as np
@@ -127,8 +128,45 @@ def exact_sign(a, b, c, perturb=True):
     return perm * s
 
 
+# s2predicates.cc kDetErrorMultiplier: max rounding error per unit of the
+# edge-product magnitude in the StableSign determinant
+_DET_ERROR_MULTIPLIER = 3.2321 * np.finfo(np.float64).eps
+
+
+def stable_sign(a, b, c) -> int:
+    """Middle predicate tier (s2predicates.cc StableSign): recompute the
+    determinant from EDGE DIFFERENCE vectors — for nearly-degenerate
+    triangles the differences are small and nearly exact, so the result is
+    certain far more often than the raw triple product.  Returns 0 when
+    still uncertain (caller falls through to exact arithmetic)."""
+    ab = b - a
+    bc = c - b
+    ca = a - c
+    ab2 = float(ab @ ab)
+    bc2 = float(bc @ bc)
+    ca2 = float(ca @ ca)
+    # use the two shortest edges (drop the longest from the product);
+    # det[a b c] = (A-C)x(B-C).C = -(CA x BC).C etc.
+    if ab2 >= bc2 and ab2 >= ca2:
+        det = -float(np.dot(np.cross(ca, bc), c))
+        max_error = _DET_ERROR_MULTIPLIER * math.sqrt(ca2 * bc2)
+    elif bc2 >= ca2:
+        det = -float(np.dot(np.cross(ab, ca), a))
+        max_error = _DET_ERROR_MULTIPLIER * math.sqrt(ab2 * ca2)
+    else:
+        det = -float(np.dot(np.cross(bc, ab), b))
+        max_error = _DET_ERROR_MULTIPLIER * math.sqrt(bc2 * ab2)
+    if det > max_error:
+        return 1
+    if det < -max_error:
+        return -1
+    return 0
+
+
 def sign(a, b, c):
-    """Robust Sign(a,b,c) = sign of det[a b c]; never 0 for distinct points."""
+    """Robust Sign(a,b,c) = sign of det[a b c]; never 0 for distinct
+    points.  Full canonical three-tier cascade: float triage -> StableSign
+    (edge-difference recompute) -> exact rational + SoS."""
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)
     c = np.asarray(c, dtype=np.float64)
@@ -136,6 +174,9 @@ def sign(a, b, c):
         return 0
     det = float(np.dot(np.cross(a, b), c))
     s = int(triage_sign(det))
+    if s != 0:
+        return s
+    s = stable_sign(a, b, c)
     if s != 0:
         return s
     return exact_sign(a, b, c)

@@ -71,6 +71,15 @@ class R1Interval:
         """Closest interval point to p (r1interval.rs Project)."""
         return max(self.lo, min(self.hi, p))
 
+    def directed_hausdorff(self, o: "R1Interval") -> float:
+        """max over points of self of distance to o (r1interval.h
+        GetDirectedHausdorffDistance)."""
+        if self.is_empty():
+            return 0.0
+        if o.is_empty():
+            return float("inf")
+        return max(0.0, max(self.hi - o.hi, o.lo - self.lo))
+
 
 def _pos_angle(p):
     """Normalize to (-pi, pi], mapping -pi -> pi (S1 canonical form)."""
@@ -131,6 +140,42 @@ class S1Interval:
             return p
         p = _pos_angle(p)
         return self.lo if _circular_gap(p, self.lo) <= _circular_gap(p, self.hi) else self.hi
+
+    def get_center(self) -> float:
+        """Midpoint angle (s1interval.h GetCenter; inverted intervals wrap)."""
+        center = 0.5 * (self.lo + self.hi)
+        if not self.is_inverted():
+            return center
+        return center + PI if center <= 0 else center - PI
+
+    def complement_center(self) -> float:
+        """Center of the complement interval (s1interval.h
+        GetComplementCenter)."""
+        if self.lo != self.hi:
+            return S1Interval(self.hi, self.lo).get_center()
+        return self.hi + PI if self.hi <= 0 else self.hi - PI
+
+    def directed_hausdorff(self, o: "S1Interval") -> float:
+        """max over points of self of circular distance to o
+        (s1interval.cc GetDirectedHausdorffDistance)."""
+        if o.contains_interval(self):
+            return 0.0
+        if o.is_empty():
+            return PI
+        yc = o.complement_center()
+        if self.contains(yc):
+            return _positive_distance(o.hi, yc)
+        hi_hi = (
+            _positive_distance(o.hi, self.hi)
+            if S1Interval(o.hi, yc).contains(self.hi)
+            else 0.0
+        )
+        lo_lo = (
+            _positive_distance(self.lo, o.lo)
+            if S1Interval(yc, o.lo).contains(self.lo)
+            else 0.0
+        )
+        return max(hi_hi, lo_lo)
 
     def fast_contains(self, p):
         if self.is_inverted():

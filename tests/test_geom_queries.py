@@ -216,3 +216,42 @@ def test_rect_distance():
     )
     assert r.distance_to_rect_rad(r2) == pytest.approx(want, abs=1e-9)
     assert r.distance_to_rect_rad(r) == 0.0
+
+
+def test_stable_sign_tier():
+    from s2_geometry_rust_ray.functions import predicates as P
+
+    rng = np.random.default_rng(9)
+    for _ in range(500):
+        a = rng.normal(size=3); a /= np.linalg.norm(a)
+        d = rng.normal(size=3) * 10 ** rng.uniform(-15, -9)
+        b = a + rng.uniform(-1, 1) * d; b /= np.linalg.norm(b)
+        c = a + rng.uniform(-1, 1) * d; c /= np.linalg.norm(c)
+        s = P.stable_sign(a, b, c)
+        if s != 0:  # certain answers must agree with exact arithmetic
+            assert s == P.exact_sign(a, b, c)
+        # the full cascade never returns 0 for distinct points
+        if not (np.array_equal(a, b) or np.array_equal(b, c)
+                or np.array_equal(a, c)):
+            assert P.sign(a, b, c) in (-1, 1)
+
+
+def test_interval_hausdorff():
+    import math
+
+    from s2_geometry_rust_ray.geometry.interval import PI, R1Interval, S1Interval
+
+    a = R1Interval(0.0, 2.0)
+    b = R1Interval(1.0, 5.0)
+    assert a.directed_hausdorff(b) == 1.0      # a.lo=0 is 1 from b.lo=1
+    assert b.directed_hausdorff(a) == 3.0      # b.hi=5 is 3 from a.hi=2
+    assert a.directed_hausdorff(a) == 0.0
+    s = S1Interval(0.0, 1.0)
+    t = S1Interval(0.5, 2.0)
+    assert s.directed_hausdorff(t) == pytest.approx(0.5, abs=1e-15)
+    assert t.directed_hausdorff(s) == pytest.approx(1.0, abs=1e-15)
+    # wraparound: interval near pi vs interval near -pi
+    u = S1Interval(math.pi - 0.1, math.pi)
+    v = S1Interval(-math.pi, -math.pi + 0.1)
+    assert u.directed_hausdorff(v) == pytest.approx(0.1, abs=1e-12)
+    assert S1Interval(0.0, 1.0).directed_hausdorff(S1Interval(0.0, 1.0)) == 0.0
