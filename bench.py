@@ -202,6 +202,32 @@ def run_benchmarks() -> dict:
     return result
 
 
+def _host_parallelism_probe(n_procs: int = 16, work: int = 3_000_000) -> float:
+    """Effective host parallelism estimate: n short CPU-bound processes;
+    grant ~= n * t_single / t_wall.  The sandbox VM's CPU quota varies
+    ~2-4x across the day (BASELINE.md) — this lets a reader distinguish a
+    throttled-window scaling run from an engine regression."""
+    import multiprocessing as mp
+
+    def spin(k):
+        s = 0
+        for i in range(k):
+            s += i * i
+        return s
+
+    t0 = time.perf_counter()
+    spin(work)
+    t_single = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    procs = [mp.Process(target=spin, args=(work,)) for _ in range(n_procs)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    t_wall = time.perf_counter() - t0
+    return round(n_procs * t_single / t_wall, 1)
+
+
 def run_scaling() -> dict:
     """Same job at N and 4N parallelism in fresh processes — the sandbox
     stand-in for N vs 4N nodes (BASELINE.md).  Reports two N->4N pairs:
@@ -212,6 +238,7 @@ def run_scaling() -> dict:
     bandwidth wall, not the engine's distribution efficiency)."""
     levels = [int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "2,8,32").split(",")]
     out = {}
+    probe = _host_parallelism_probe()
     for ncpu in levels:
         env = dict(
             os.environ,
@@ -233,9 +260,11 @@ def run_scaling() -> dict:
         "n_points": out[levels[-1]]["n_points"],
         "sf": SF_DIR,
     }
+    res["host_parallelism_probe"] = probe
     for ncpu in levels:
         res[f"rows_per_sec_{ncpu}"] = out[ncpu]["rows_per_sec"]
         res[f"sec_{ncpu}"] = out[ncpu]["value"]
+        res[f"rows_per_sec_per_slot_{ncpu}"] = round(out[ncpu]["rows_per_sec"] / ncpu)
     for lo, hi in zip(levels, levels[1:]):
         if hi == lo * 4:
             eff = (out[hi]["rows_per_sec"] / out[lo]["rows_per_sec"]) / 4.0
