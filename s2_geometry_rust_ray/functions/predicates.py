@@ -323,20 +323,45 @@ def compare_edge_distance(x, a0, a1, r2: float) -> int:
     x = np.asarray(x, dtype=np.float64)
     a0 = np.asarray(a0, dtype=np.float64)
     a1 = np.asarray(a1, dtype=np.float64)
+    eps = np.finfo(np.float64).eps
     n = np.cross(a0, a1)
     nn = float(n @ n)
-    if nn > 0.0 and float(np.dot(np.cross(a0, x), n)) >= 0.0 and float(
-        np.dot(np.cross(x, a1), n)
-    ) >= 0.0:
+    wedge0 = float(np.dot(np.cross(a0, x), n))
+    wedge1 = float(np.dot(np.cross(x, a1), n))
+    # wedge sign tests are floats; treat near-zero dots as uncertain and
+    # combine both branches conservatively (the interior perpendicular
+    # distance never exceeds the endpoint distances, so when the branches
+    # agree the answer is safe either way)
+    wedge_tol = 16.0 * eps * math.sqrt(max(nn, eps))
+    in_wedge = nn > 0.0 and wedge0 >= 0.0 and wedge1 >= 0.0
+    wedge_certain = nn > 0.0 and abs(wedge0) > wedge_tol and abs(wedge1) > wedge_tol
+
+    def interior_sign() -> int:
         w = float(x @ n) / math.sqrt(nn)
         w = max(-1.0, min(1.0, w))
-        d2 = 2.0 - 2.0 * math.sqrt(max(0.0, 1.0 - w * w))
-        err = 8.0 * np.finfo(np.float64).eps
+        one_minus_w2 = max(0.0, 1.0 - w * w)
+        d2 = 2.0 - 2.0 * math.sqrt(one_minus_w2)
+        # d2 carries ~sqrt(eps) absolute error as |w| -> 1 (near-antipodal
+        # x vs the great circle): scale the band with the conditioning
+        # instead of a fixed 8*eps absolute bound
+        err = 8.0 * eps * (1.0 + 1.0 / math.sqrt(max(one_minus_w2, eps)))
         if d2 - r2 > err:
             return 1
         if d2 - r2 < -err:
             return -1
         return 0  # within float tolerance of the threshold: reported as tie
-    ra = compare_distance(x, a0, r2)
-    rb = compare_distance(x, a1, r2)
-    return min(ra, rb)
+
+    def endpoint_sign() -> int:
+        return min(compare_distance(x, a0, r2), compare_distance(x, a1, r2))
+
+    if in_wedge:
+        si = interior_sign()
+        if wedge_certain:
+            return si
+        se = endpoint_sign()
+        return si if si == se else 0
+    if nn > 0.0 and not wedge_certain:
+        si = interior_sign()
+        se = endpoint_sign()
+        return se if si == se else 0
+    return endpoint_sign()

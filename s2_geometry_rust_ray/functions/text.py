@@ -16,7 +16,7 @@ import re
 import numpy as np
 import pandas as pd
 
-TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+TOKEN_RE = re.compile(r"[A-Za-z0-9]+", re.ASCII)
 # DuckDB twin: regexp_extract_all(text, '[A-Za-z0-9]+')
 
 STOPWORDS = frozenset(
@@ -28,8 +28,12 @@ STOPWORDS = frozenset(
 # punctuation runs, whitespace) restricted to constructs with IDENTICAL
 # semantics in Python re and DuckDB RE2 (no \p{}, no lookarounds —
 # verified match over contraction/unicode-free corpora)
+# re.ASCII: Python \s is Unicode-aware while DuckDB RE2 \s is not — the
+# ASCII flag makes both engines tokenize identically on any input (the
+# oracle contract otherwise silently diverges on non-ASCII text)
 BPE_TOKEN_RE = re.compile(
-    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+",
+    re.ASCII,
 )
 BPE_TOKEN_SQL = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
 

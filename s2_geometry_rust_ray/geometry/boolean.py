@@ -87,6 +87,36 @@ def _split_classified(poly: Polygon, other: Polygon, crossings: dict):
     return inside_edges, outside_edges
 
 
+def _edge_balls(a: np.ndarray, b: np.ndarray):
+    """Bounding ball per arc: center = normalized midpoint, radius = chord
+    distance to an endpoint.  For arcs < pi every arc point lies within the
+    ball (chord distance from the arc midpoint peaks at the endpoints), so
+    two arcs can only cross if their balls overlap — an exact-conservative
+    prune.  Near-antipodal endpoints (midpoint ~ 0) get radius 2 (no prune)."""
+    m = a + b
+    norm = np.linalg.norm(m, axis=1, keepdims=True)
+    ok = norm[:, 0] > 1e-9
+    m = np.where(ok[:, None], m / np.where(norm == 0.0, 1.0, norm), 0.0)
+    r = np.where(ok, np.linalg.norm(a - m, axis=1), 2.0)
+    return m, r
+
+
+def _candidate_pairs(a1, a2, b1, b2):
+    """(i, j) index arrays of edge pairs whose bounding balls overlap —
+    the vectorized prune in front of the robust crossing predicate (cuts
+    the O(E_A * E_B) scalar crossing_sign loop to near-output size)."""
+    ma, ra = _edge_balls(a1, a2)
+    mb, rb = _edge_balls(b1, b2)
+    # (E_A, E_B) squared midpoint distances via the dot-product identity
+    d2 = (
+        (ma * ma).sum(axis=1)[:, None]
+        + (mb * mb).sum(axis=1)[None, :]
+        - 2.0 * (ma @ mb.T)
+    )
+    lim = (ra[:, None] + rb[None, :] + 1e-12) ** 2
+    return np.nonzero(d2 <= lim)
+
+
 def _find_crossings(pa: Polygon, pb: Polygon):
     """All proper crossings between edge sets: returns (by_a_edge,
     by_b_edge) dicts of intersection points, the SAME point object for
@@ -95,12 +125,12 @@ def _find_crossings(pa: Polygon, pb: Polygon):
     b1, b2 = _polygon_edges(pb)
     by_a: dict[int, list] = {}
     by_b: dict[int, list] = {}
-    for i in range(len(a1)):
-        for j in range(len(b1)):
-            if pred.crossing_sign(a1[i], a2[i], b1[j], b2[j]) > 0:
-                p = edge_intersection(a1[i], a2[i], b1[j], b2[j])
-                by_a.setdefault(i, []).append(p)
-                by_b.setdefault(j, []).append(p)
+    ii, jj = _candidate_pairs(a1, a2, b1, b2)
+    for i, j in zip(ii, jj):
+        if pred.crossing_sign(a1[i], a2[i], b1[j], b2[j]) > 0:
+            p = edge_intersection(a1[i], a2[i], b1[j], b2[j])
+            by_a.setdefault(int(i), []).append(p)
+            by_b.setdefault(int(j), []).append(p)
     return by_a, by_b
 
 
@@ -160,22 +190,52 @@ def boolean_op(pa: Polygon, pb: Polygon, op: str) -> Polygon | None:
 def _boundaries_cross(pa: Polygon, pb: Polygon) -> bool:
     a1, a2 = _polygon_edges(pa)
     b1, b2 = _polygon_edges(pb)
-    for i in range(len(a1)):
-        for j in range(len(b1)):
-            if pred.crossing_sign(a1[i], a2[i], b1[j], b2[j]) > 0:
-                return True
+    ii, jj = _candidate_pairs(a1, a2, b1, b2)
+    for i, j in zip(ii, jj):
+        if pred.crossing_sign(a1[i], a2[i], b1[j], b2[j]) > 0:
+            return True
     return False
 
 
+def _shell_probes(poly: Polygon) -> np.ndarray:
+    """One probe vertex per SHELL (loop at even nesting depth) of an
+    even-odd polygon.  Depth of a loop = number of other loops containing
+    its first vertex (valid because a polygon's own loops never cross).
+    A disconnected region (2+ shells) needs every shell probed — a single
+    loops[0] probe says nothing about the other components."""
+    loops = poly.loops
+    if len(loops) == 1:
+        return loops[0].v[:1]
+    probes = []
+    for i, lp in enumerate(loops):
+        v0 = lp.v[:1]
+        depth = sum(
+            bool(other.contains_points(v0)[0])
+            for j, other in enumerate(loops)
+            if j != i
+        )
+        if depth % 2 == 0:
+            probes.append(v0)
+    if not probes:  # defensive: inconsistent nesting, probe everything
+        probes = [lp.v[:1] for lp in loops]
+    return np.concatenate(probes)
+
+
 def polygon_contains_polygon(pa: Polygon, pb: Polygon) -> bool:
-    """A contains B: boundaries don't cross, A contains a B vertex, and B
-    does not contain an A vertex outside B (handles A inside B)."""
+    """A contains B: boundaries don't cross and EVERY shell of B has a
+    vertex inside A (one probe per even-depth loop — a disconnected B is
+    only contained if all its components are).  Boundaries that merely
+    touch at a vertex are outside this function's scope (canonical S2
+    resolves those by snap rounding first; see module docstring)."""
     if _boundaries_cross(pa, pb):
         return False
-    if not bool(pa.contains_points(pb.loops[0].v[:1])[0]):
+    probes_b = _shell_probes(pb)
+    if not bool(pa.contains_points(probes_b).all()):
         return False
-    # if B also contains A's probe vertex, the smaller-area one is inside
-    if bool(pb.contains_points(pa.loops[0].v[:1])[0]):
+    # if B also contains all of A's shell probes, the smaller-area one is
+    # inside (identical/nested-equal case)
+    probes_a = _shell_probes(pa)
+    if bool(pb.contains_points(probes_a).all()):
         from .measures import polygon_area
 
         return polygon_area(pa) >= polygon_area(pb)
@@ -183,12 +243,12 @@ def polygon_contains_polygon(pa: Polygon, pb: Polygon) -> bool:
 
 
 def polygon_intersects_polygon(pa: Polygon, pb: Polygon) -> bool:
-    """A intersects B: boundaries cross, or one contains a vertex of the
-    other."""
+    """A intersects B: boundaries cross, or some shell of one has a vertex
+    inside the other."""
     if _boundaries_cross(pa, pb):
         return True
-    return bool(pa.contains_points(pb.loops[0].v[:1])[0]) or bool(
-        pb.contains_points(pa.loops[0].v[:1])[0]
+    return bool(pa.contains_points(_shell_probes(pb)).any()) or bool(
+        pb.contains_points(_shell_probes(pa)).any()
     )
 
 

@@ -387,6 +387,12 @@ class RegionCoverer:
     def get_interior_covering(self, region) -> np.ndarray:
         return self._covering(region, interior=True)
 
+    def get_fast_covering(self, region) -> np.ndarray:
+        """API-parity alias: the reference's get_fast_covering is literally
+        get_covering (/root/reference/src/region_coverer.rs:499-503 — no
+        separate fast path exists there either)."""
+        return self.get_covering(region)
+
 
 def common_ancestor_level(a: int, b: int) -> int:
     """Level of the lowest common ancestor of two cell ids, or -1 for

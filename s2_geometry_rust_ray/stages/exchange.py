@@ -243,8 +243,11 @@ def attach_pair_payloads(cand, src_ds, id_col: str, payload_col: str,
 
 
 def hot_key_histogram(ds, key_col: str, top_n: int = 64):
-    """Cheap first-pass histogram for salting decisions: per-block partial
-    counts -> driver-side top-N merge (bounded by top_n * num_blocks)."""
+    """Cheap first-pass histogram for salting decisions: per-block top-N
+    partial counts -> distributed tree merge (stages/agg.tree_reduce_by_key)
+    -> final top-N truncation in ONE task.  The driver only ever pulls
+    <= top_n rows — no linear-in-num_blocks driver merge."""
+    from . import agg
 
     def partial(batch: pa.Table) -> pa.Table:
         k = batch[key_col].to_numpy(zero_copy_only=False)
@@ -254,13 +257,19 @@ def hot_key_histogram(ds, key_col: str, top_n: int = 64):
             uk, counts = uk[idx], counts[idx]
         return pa.table({key_col: uk, "n": counts.astype(np.int64)})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    from collections import Counter
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    merged = agg.tree_reduce_by_key(partials, key_col, {"n": "sum"})
 
-    c: Counter = Counter()
-    for row in parts:
-        c[row[key_col]] += row["n"]
-    return dict(c.most_common(top_n))
+    def truncate(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= top_n:
+            return batch
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        idx = np.argpartition(-n, top_n)[:top_n]
+        return batch.take(pa.array(np.sort(idx)))
+
+    rows = merged.map_batches(truncate, batch_format="pyarrow").take_all()
+    out = {row[key_col]: row["n"] for row in rows}
+    return dict(sorted(out.items(), key=lambda kv: -kv[1])[:top_n])
 
 
 def salted_key(keys: np.ndarray, row_hash: np.ndarray, hot_keys: set, salt: int):

@@ -36,7 +36,13 @@ class PreparedLayer:
         self.interiors = interiors
 
 
-_PREPARE_CACHE: dict = {}
+# content-digest -> PreparedLayer memo.  Bounded LRU (a long-lived driver
+# preparing many distinct layers must not retain every Polygon + covering
+# forever); 32 entries comfortably covers repeated-pipeline reuse.
+from collections import OrderedDict
+
+_PREPARE_CACHE: "OrderedDict[str, PreparedLayer]" = OrderedDict()
+_PREPARE_CACHE_MAX = 32
 
 
 def _layer_digest(layer: dict, extra: tuple) -> str:
@@ -85,6 +91,7 @@ def prepare_layer(layer: dict, covering_max_cells: int = 48,
     key = _layer_digest(layer, (covering_max_cells, covering_max_level))
     cached = _PREPARE_CACHE.get(key)
     if cached is not None:
+        _PREPARE_CACHE.move_to_end(key)
         return cached
 
     import ray
@@ -108,6 +115,8 @@ def prepare_layer(layer: dict, covering_max_cells: int = 48,
         interiors[pid] = icov
     out = PreparedLayer(polys, coverings, interiors)
     _PREPARE_CACHE[key] = out
+    while len(_PREPARE_CACHE) > _PREPARE_CACHE_MAX:
+        _PREPARE_CACHE.popitem(last=False)
     return out
 
 
