@@ -192,6 +192,59 @@ def minhash_signature(text: str, num_hashes: int = 32, k: int = 5,
     return h.min(axis=0)
 
 
+def minhash_signatures_batch(texts, num_hashes: int = 32, k: int = 5,
+                             mode: str = "word") -> np.ndarray:
+    """MinHash signatures for a WHOLE batch at once -> (n_docs, num_hashes)
+    uint64.  The md5-per-distinct-shingle loop is the oracle contract (SQL
+    twin hashes the same strings); everything after it — the (total_shingles
+    x num_hashes) universal-hash matrix and the per-doc min — is one
+    vectorized pass with segment reduceat, no per-doc permutation loops.
+    Docs with no shingles get the sentinel row (all MINHASH_P)."""
+    p = np.uint64(MINHASH_P)
+    xs = [shingle_hashes(str(t), k, mode) % p for t in texts]
+    counts = np.array([len(x) for x in xs], dtype=np.int64)
+    out = np.full((len(xs), num_hashes), p, dtype=np.uint64)
+    if len(xs) == 0 or counts.sum() == 0:
+        return out
+    a, b = minhash_consts(num_hashes)
+    allx = np.concatenate(xs)
+    h = (allx[:, None] * a[None, :] + b[None, :]) % p  # (total, num_hashes)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    nonzero = counts > 0
+    out[nonzero] = np.minimum.reduceat(h, offsets[nonzero], axis=0)
+    return out
+
+
+# integer band-bucket fold: bucket_b = ((b+1)*M^k + sum_t sig[b*k+t] *
+# M^(k-1-t)) mod p with M = 1000003, k = band_size — every product < 2^62
+# (operands < p < 2^31), so BIGINT math in DuckDB reproduces it bit-exactly
+# (oracle/sql.q_near_dup_pairs).  Replaces the per-doc md5-of-string-join
+# bucket hash: one (n_docs, n_bands, band_size) vectorized pass.
+BAND_M = 1000003
+
+
+def band_buckets(sig: np.ndarray, band_size: int) -> np.ndarray:
+    """(n_docs, num_hashes) minhash signatures -> (n_docs, n_bands) int64
+    band buckets.  Tail hashes beyond n_bands*band_size are dropped (both
+    engines — the SQL twin filters i < n_bands*band_size identically)."""
+    p = np.uint64(MINHASH_P)
+    n_docs, num_hashes = sig.shape
+    n_bands = num_hashes // band_size
+    used = sig[:, : n_bands * band_size].reshape(n_docs, n_bands, band_size)
+    w = np.array(
+        [pow(BAND_M, band_size - 1 - t, MINHASH_P) for t in range(band_size)],
+        dtype=np.uint64,
+    )
+    terms = (used * w[None, None, :]) % p          # each < p
+    s = terms.sum(axis=2)                          # < band_size * p (no mod yet)
+    head = np.array(
+        [((b + 1) * pow(BAND_M, band_size, MINHASH_P)) % MINHASH_P
+         for b in range(n_bands)],
+        dtype=np.uint64,
+    )
+    return ((head[None, :] + s) % p).astype(np.int64)
+
+
 def token_hashes(text: str) -> np.ndarray:
     """Distinct lowercased tokens md5-hashed to uint64 (first 16 hex).
     Oracle twin: ('0x' || substr(md5(t),1,16))::UBIGINT over DISTINCT
@@ -218,6 +271,30 @@ def simhash64(text: str) -> np.ndarray:
     for i in set_bits:
         sig |= np.uint64(1) << np.uint64(i)
     return sig
+
+
+def simhash64_batch(texts) -> np.ndarray:
+    """SimHash for a whole batch -> (n_docs,) uint64.  Same semantics as
+    simhash64 (strict-majority votes over distinct token hashes; empty ->
+    0); the (total_tokens x 64) vote matrix and per-doc reduceat replace
+    the per-doc vote loop."""
+    hs = [token_hashes(str(t)) for t in texts]
+    counts = np.array([len(h) for h in hs], dtype=np.int64)
+    out = np.zeros(len(hs), dtype=np.uint64)
+    if len(hs) == 0 or counts.sum() == 0:
+        return out
+    allh = np.concatenate(hs)
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((allh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    votes_all = 2 * bits - 1
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    nz = counts > 0
+    votes = np.add.reduceat(votes_all, offsets[nz], axis=0)  # (n_nz, 64)
+    pows = np.uint64(1) << shifts
+    out[nz] = ((votes > 0).astype(np.uint64) * pows[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    return out
 
 
 def popcount64(x: np.ndarray) -> np.ndarray:

@@ -168,11 +168,22 @@ def q_near_dup_pairs(num_hashes: int = 32, band_size: int = 4,
                      mode: str = "word") -> str:
     """Full SQL twin of pipelines/textops.near_dup_pairs over `documents`:
     shingle (word windows or raw char k-grams) -> md5 -> universal-hash
-    minhash (mod 2^31-1) -> bands -> bucket self-join -> exact Jaccard >=
-    threshold.  Every arithmetic step stays below 2^62, so BIGINT math
-    matches the engine's uint64 math exactly; jaccard is one IEEE division
-    of exact integers (bit-exact)."""
+    minhash (mod 2^31-1) -> integer band-bucket fold (functions/
+    text.band_buckets: bucket = ((b+1)*M^k + sum_t h_t * M^(k-1-t)) mod p,
+    M=1000003) -> bucket self-join -> exact Jaccard >= threshold.  Every
+    arithmetic step stays below 2^62, so BIGINT math matches the engine's
+    uint64 math exactly; jaccard is one IEEE division of exact integers
+    (bit-exact).  Tail hashes beyond (num_hashes // band_size) * band_size
+    are dropped in BOTH engines."""
+    from ..functions.text import BAND_M
+
     p = 2147483647
+    n_bands = num_hashes // band_size
+    n_used = n_bands * band_size
+    pow_rows = ", ".join(
+        f"({t},{pow(BAND_M, band_size - 1 - t, p)})" for t in range(band_size)
+    )
+    pow_mk = pow(BAND_M, band_size, p)
     if mode == "char":
         shing = f"""shing AS (
     SELECT doc_id,
@@ -214,14 +225,17 @@ def q_near_dup_pairs(num_hashes: int = 32, band_size: int = 4,
     FROM hx CROSS JOIN (SELECT unnest(range(0, {num_hashes})) AS i) ii
     GROUP BY 1, 2
   ),
+  pw(j, w) AS (VALUES {pow_rows}),
   bandsig AS (
-    SELECT doc_id, i // {band_size} AS b,
-           string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS chunk
-    FROM sig GROUP BY 1, 2
+    SELECT s.doc_id, s.i // {band_size} AS b,
+           SUM((s.h * pw.w) % {p}) AS t
+    FROM sig s JOIN pw ON pw.j = s.i % {band_size}
+    WHERE s.i < {n_used}
+    GROUP BY 1, 2
   ),
   buckets AS (
     SELECT doc_id,
-           substr(md5(CAST(b AS VARCHAR) || ':' || chunk), 1, 16) AS bucket
+           CAST((((b + 1) * {pow_mk}) % {p} + t) % {p} AS BIGINT) AS bucket
     FROM bandsig
   ),
   cand AS (
@@ -368,14 +382,14 @@ def q_simhash_near_dup(max_hamming: int = 7) -> str:
         "WITH " + _simhash_ctes()
         + f""",
   bands AS (
-    SELECT doc_id, b AS band,
-           CAST((sig >> (8 * b)) & 255::UBIGINT AS BIGINT) AS chunk
+    SELECT doc_id,
+           b * 256 + CAST((sig >> (8 * b)) & 255::UBIGINT AS BIGINT) AS bucket
     FROM __allsig CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
     WHERE sig <> 0::UBIGINT
   ),
   cand AS (
     SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-    FROM bands x JOIN bands y ON x.band = y.band AND x.chunk = y.chunk
+    FROM bands x JOIN bands y USING (bucket)
     WHERE x.doc_id < y.doc_id
   )
   SELECT c.doc_a, c.doc_b,

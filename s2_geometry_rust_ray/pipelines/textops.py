@@ -89,46 +89,46 @@ def _rename_col(old: str, new: str):
 
 def near_dup_pairs(ds, num_hashes: int = 32, band_size: int = 4,
                    threshold: float = 0.5, num_parts: int = 16,
-                   shingle_k: int = 5, shingle_mode: str = "word"):
+                   shingle_k: int = 5, shingle_mode: str = "word",
+                   hot_bucket_cap: int = 1024):
     """MinHash-LSH near-duplicate pairs: (doc_a, doc_b, jaccard).
 
     shingle(5-gram words) -> md5 per distinct shingle -> num_hashes
-    universal-hash permutations mod 2^31-1 (vectorized; see
-    functions/text.minhash_signature) -> bands -> bucket hash-exchange ->
-    per-bucket candidate pairs -> pair-keyed dedup exchange -> hash-join
-    texts back by doc id -> exact Jaccard verify >= threshold.
+    universal-hash permutations mod 2^31-1, batched across the whole batch
+    (functions/text.minhash_signatures_batch) -> integer band buckets
+    (mod-p fold, functions/text.band_buckets — no per-doc string builds)
+    -> bucket hash-exchange -> per-bucket candidate pairs (hot buckets
+    chunk-split, stages/exchange.lsh_candidate_pairs) -> pair-keyed dedup
+    exchange -> hash-join texts back by doc id -> exact Jaccard verify >=
+    threshold.
 
     Scale path: NOTHING is materialized on the driver.  The band exchange
-    carries (doc_id, 16-hex bucket) rows only; candidate pairs are deduped
+    carries (doc_id, int64 bucket) rows only; candidate pairs are deduped
     distributed (co-located by hash(doc_a) — identical pairs share doc_a);
     candidate texts arrive via two hash-partitioned equi-joins against the
     documents table (stages/exchange.hash_join), so each partition holds
     only its own candidates' texts.  jaccard = n_inter/n_union is a single
     IEEE division of exact integers => bit-exact vs the DuckDB oracle
-    (oracle/sql.q_near_dup_pairs mirrors the full LSH pipeline)."""
+    (oracle/sql.q_near_dup_pairs mirrors the full LSH pipeline incl. the
+    integer band fold)."""
     from ..stages import exchange
 
     n_bands = num_hashes // band_size
     sentinel = np.uint64(T.MINHASH_P)
 
     def band_stage(batch: pd.DataFrame) -> pd.DataFrame:
-        out_doc, out_bucket = [], []
-        for doc_id, txt in zip(batch["doc_id"], batch["text"]):
-            sig = T.minhash_signature(str(txt), num_hashes, shingle_k, shingle_mode)
-            if sig[0] == sentinel:  # no shingles -> cannot near-dup
-                continue
-            for b in range(n_bands):
-                chunk = sig[b * band_size : (b + 1) * band_size]
-                bucket = hashlib.md5(
-                    (str(b) + ":" + ",".join(str(int(c)) for c in chunk)).encode()
-                ).hexdigest()[:16]
-                out_doc.append(doc_id)
-                out_bucket.append(bucket)
-        return pd.DataFrame({"doc_id": out_doc, "bucket": out_bucket})
+        sig = T.minhash_signatures_batch(
+            batch["text"], num_hashes, shingle_k, shingle_mode
+        )
+        ok = sig[:, 0] != sentinel  # no shingles -> cannot near-dup
+        buckets = T.band_buckets(sig[ok], band_size)  # (m, n_bands) int64
+        doc = np.repeat(batch["doc_id"].to_numpy()[ok], n_bands)
+        return pd.DataFrame({"doc_id": doc, "bucket": buckets.ravel()})
 
     bands = ds.map_batches(band_stage, batch_format="pandas")
     cand = exchange.lsh_candidate_pairs(
-        bands, "doc_id", "bucket", num_parts, "doc_a", "doc_b"
+        bands, "doc_id", "bucket", num_parts, "doc_a", "doc_b",
+        hot_bucket_cap=hot_bucket_cap,
     )
     # fetch candidate texts via hash-partitioned joins (never broadcast)
     docs = ds.select_columns(["doc_id", "text"])
@@ -156,9 +156,7 @@ def simhash_table(ds):
     Oracle: oracle/sql.q_simhash (pure integer votes; bit-exact)."""
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        sig = np.array(
-            [T.simhash64(str(t)) for t in batch["text"]], dtype=np.uint64
-        )
+        sig = T.simhash64_batch(batch["text"])
         return pd.DataFrame(
             {"doc_id": batch["doc_id"], "simhash": sig.view(np.int64)}
         )
@@ -166,7 +164,8 @@ def simhash_table(ds):
     return ds.map_batches(fn, batch_format="pandas")
 
 
-def simhash_near_dup(ds, max_hamming: int = 7, num_parts: int = 16):
+def simhash_near_dup(ds, max_hamming: int = 7, num_parts: int = 16,
+                     hot_bucket_cap: int = 1024):
     """SimHash near-duplicate pairs: (doc_a, doc_b, hamming).
 
     Candidates share at least one of the 8 8-bit bands of their SimHash;
@@ -180,20 +179,21 @@ def simhash_near_dup(ds, max_hamming: int = 7, num_parts: int = 16):
     from ..stages import exchange
 
     def band_stage(batch: pd.DataFrame) -> pd.DataFrame:
-        out_doc, out_bucket = [], []
-        for doc_id, txt in zip(batch["doc_id"], batch["text"]):
-            sig = int(T.simhash64(str(txt)))
-            if sig == 0:
-                continue
-            for b in range(8):
-                chunk = (sig >> (8 * b)) & 0xFF
-                out_doc.append(doc_id)
-                out_bucket.append(f"{b}:{chunk}")
-        return pd.DataFrame({"doc_id": out_doc, "bucket": out_bucket})
+        sig = T.simhash64_batch(batch["text"])
+        ok = sig != np.uint64(0)
+        sig = sig[ok]
+        shifts = (np.uint64(8) * np.arange(8, dtype=np.uint64))[None, :]
+        chunk = ((sig[:, None] >> shifts) & np.uint64(0xFF)).astype(np.int64)
+        # integer bucket b*256 + chunk (bijective with the (band, chunk)
+        # pair; same expression in the SQL twin)
+        buckets = np.arange(8, dtype=np.int64)[None, :] * 256 + chunk
+        doc = np.repeat(batch["doc_id"].to_numpy()[ok], 8)
+        return pd.DataFrame({"doc_id": doc, "bucket": buckets.ravel()})
 
     bands = ds.map_batches(band_stage, batch_format="pandas")
     cand = exchange.lsh_candidate_pairs(
-        bands, "doc_id", "bucket", num_parts, "doc_a", "doc_b"
+        bands, "doc_id", "bucket", num_parts, "doc_a", "doc_b",
+        hot_bucket_cap=hot_bucket_cap,
     )
     sigs = simhash_table(ds)
     j2 = exchange.attach_pair_payloads(

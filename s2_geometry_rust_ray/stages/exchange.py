@@ -188,37 +188,175 @@ def rename_column(old: str, new: str):
     return fn
 
 
-def lsh_candidate_pairs(bands_ds, id_col: str, bucket_col: str,
-                        num_parts: int, a_col: str, b_col: str):
-    """The shared LSH candidate scaffolding: hash-exchange (id, bucket)
-    rows by bucket, emit all within-bucket id pairs (a < b) per partition,
-    then dedup pairs globally co-located by hash(a) — identical pairs from
-    different bands always share their `a` id, so the dedup stays fully
-    distributed.  Returns a Dataset (a_col:int64, b_col:int64)."""
-    import pandas as pd
+def _sorted_unique_bucket_ids(tbl: pa.Table, id_col: str, bucket_col: str):
+    """(bucket, id) rows -> dedup'd arrays sorted by (bucket, id) plus
+    segment starts/lengths per bucket.  Shared prep for both the small-
+    bucket pair emission and the hot-bucket spill."""
+    bucket = np.asarray(tbl[bucket_col].to_numpy(zero_copy_only=False))
+    ids = np.asarray(tbl[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+    order = np.lexsort((ids, bucket))
+    b_s, i_s = bucket[order], ids[order]
+    keep = np.ones(len(b_s), dtype=bool)
+    keep[1:] = (b_s[1:] != b_s[:-1]) | (i_s[1:] != i_s[:-1])
+    b_s, i_s = b_s[keep], i_s[keep]
+    is_new = np.ones(len(b_s), dtype=bool)
+    is_new[1:] = b_s[1:] != b_s[:-1]
+    starts = np.nonzero(is_new)[0]
+    lens = np.diff(np.concatenate([starts, [len(b_s)]]))
+    return b_s, i_s, starts, lens
 
+
+def _segment_triu_pairs(ids_sorted: np.ndarray, starts: np.ndarray,
+                        lens: np.ndarray):
+    """All (a < b) within-segment pairs, fully vectorized: segments are
+    grouped by length, each length class emits its pairs in ONE
+    triu_indices gather (no Python loop over pairs or over segments)."""
+    out_a, out_b = [], []
+    for s in np.unique(lens):
+        s = int(s)
+        if s < 2:
+            continue
+        sel = starts[lens == s]
+        mat = ids_sorted[sel[:, None] + np.arange(s)[None, :]]  # (m, s)
+        iu, ju = np.triu_indices(s, k=1)
+        out_a.append(mat[:, iu].ravel())
+        out_b.append(mat[:, ju].ravel())
+    if not out_a:
+        z = np.array([], dtype=np.int64)
+        return z, z
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
+def _left_cross_pairs(ids_sorted: np.ndarray, n_left: int):
+    """Pairs (ids[i], ids[j]) for i < n_left, i < j < len — the triangle
+    slice a hot-bucket CHUNK owns.  Vectorized via repeat + index
+    arithmetic (never materializes the full triangle)."""
+    n = len(ids_sorted)
+    n_left = min(n_left, n)
+    counts = (n - 1) - np.arange(n_left, dtype=np.int64)
+    total = int(counts.sum())
+    if total <= 0:
+        z = np.array([], dtype=np.int64)
+        return z, z
+    a = np.repeat(ids_sorted[:n_left], counts)
+    cum_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    j = (np.arange(total, dtype=np.int64)
+         - np.repeat(cum_starts, counts)
+         + np.repeat(np.arange(1, n_left + 1, dtype=np.int64), counts))
+    return a, ids_sorted[j]
+
+
+def lsh_candidate_pairs(bands_ds, id_col: str, bucket_col: str,
+                        num_parts: int, a_col: str, b_col: str,
+                        hot_bucket_cap: int = 1024):
+    """The shared LSH candidate scaffolding: hash-exchange (id, bucket)
+    rows by bucket, emit all within-bucket id pairs (a < b), then dedup
+    pairs globally co-located by hash(a) — identical pairs from different
+    bands always share their `a` id, so the dedup stays fully distributed.
+    Returns a Dataset (a_col:int64, b_col:int64).
+
+    Skew handling (the LSH hot-bucket killer — boilerplate-heavy corpora
+    put 10%+ of docs in one bucket, emitting O(n^2) pairs in one task):
+    buckets with more than `hot_bucket_cap` members are NOT paired in
+    place.  Their id lists are split into `cap`-sized left-chunks, each
+    chunk replicated with the ids above it (the triangle slice it owns)
+    and re-exchanged by a per-chunk key, so pair emission for a hot bucket
+    spreads over ceil(n/cap) tasks of <= cap*n pairs each — the same
+    output set, no single-task funnel.  All emission paths are vectorized
+    (triu_indices per segment-length class / repeat+gather per chunk)."""
     bucket_parts = hash_exchange(bands_ds, bucket_col, num_parts)
 
-    def pairs_in_partition(tbl: pa.Table) -> pa.Table:
-        empty = pa.table({a_col: pa.array([], pa.int64()),
-                          b_col: pa.array([], pa.int64())})
+    empty_pairs = pa.table({a_col: pa.array([], pa.int64()),
+                            b_col: pa.array([], pa.int64())})
+
+    def small_pairs(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
-            return empty
-        df = tbl.to_pandas()
-        out_a, out_b = [], []
-        for _, grp in df.groupby(bucket_col, sort=False):
-            ids = np.unique(grp[id_col].to_numpy())
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        if not out_a:
-            return empty
-        t = pa.table({a_col: np.asarray(out_a, dtype=np.int64),
-                      b_col: np.asarray(out_b, dtype=np.int64)})
+            return empty_pairs
+        _, i_s, starts, lens = _sorted_unique_bucket_ids(tbl, id_col, bucket_col)
+        small = lens <= hot_bucket_cap
+        a, b = _segment_triu_pairs(i_s, starts[small], lens[small])
+        if len(a) == 0:
+            return empty_pairs
+        t = pa.table({a_col: a, b_col: b})
         return t.group_by([a_col, b_col]).aggregate([])
 
-    cand = partitions_to_dataset(bucket_parts, pairs_in_partition)
+    cand_small = partitions_to_dataset(bucket_parts, small_pairs)
+
+    # hot-bucket spill: (ckey, bucket_h, lo, idx, id) rows, one row per
+    # (chunk, member-above-chunk-start); ckey routes a chunk to one task
+    def spill_rows(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"ckey": pa.array([], pa.int64()),
+                          "bucket_h": pa.array([], pa.int64()),
+                          "lo": pa.array([], pa.int64()),
+                          "idx": pa.array([], pa.int64()),
+                          "id": pa.array([], pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        b_s, i_s, starts, lens = _sorted_unique_bucket_ids(tbl, id_col, bucket_col)
+        hot = np.nonzero(lens > hot_bucket_cap)[0]
+        if len(hot) == 0:
+            return empty
+        ck, bh, lo_c, ix, iv = [], [], [], [], []
+        for seg in hot:
+            st, n = int(starts[seg]), int(lens[seg])
+            ids_seg = i_s[st : st + n]
+            # distinct buckets in one partition can share a hash only by
+            # collision; bucket_h + lo disambiguates the chunk groups
+            h = int(_hash_keys(b_s[st : st + 1])[0])
+
+            def _signed64(v: int) -> int:
+                v &= 0xFFFFFFFFFFFFFFFF
+                return v - (1 << 64) if v >= (1 << 63) else v
+
+            n_chunks = -(-n // hot_bucket_cap)
+            for c in range(n_chunks):
+                lo = c * hot_bucket_cap
+                m = n - lo
+                ckey = _signed64(h * 0x9E3779B97F4A7C15 + c)
+                ck.append(np.full(m, ckey, dtype=np.int64))
+                bh.append(np.full(m, _signed64(h), dtype=np.int64))
+                lo_c.append(np.full(m, lo, dtype=np.int64))
+                ix.append(np.arange(lo, n, dtype=np.int64))
+                iv.append(ids_seg[lo:])
+        return pa.table({"ckey": np.concatenate(ck),
+                         "bucket_h": np.concatenate(bh),
+                         "lo": np.concatenate(lo_c),
+                         "idx": np.concatenate(ix),
+                         "id": np.concatenate(iv)})
+
+    spill = partitions_to_dataset(bucket_parts, spill_rows)
+    spill_parts = hash_exchange(spill, "ckey", num_parts)
+
+    def chunk_pairs(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return empty_pairs
+        ckey = tbl["ckey"].to_numpy(zero_copy_only=False)
+        bh = tbl["bucket_h"].to_numpy(zero_copy_only=False)
+        lo = tbl["lo"].to_numpy(zero_copy_only=False)
+        idx = tbl["idx"].to_numpy(zero_copy_only=False)
+        ids = tbl["id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((idx, lo, bh, ckey))
+        ckey, bh, lo, idx, ids = (
+            ckey[order], bh[order], lo[order], idx[order], ids[order])
+        is_new = np.ones(len(ids), dtype=bool)
+        is_new[1:] = ((ckey[1:] != ckey[:-1]) | (bh[1:] != bh[:-1])
+                      | (lo[1:] != lo[:-1]))
+        starts = np.nonzero(is_new)[0]
+        lens = np.diff(np.concatenate([starts, [len(ids)]]))
+        out_a, out_b = [], []
+        for st, n in zip(starts, lens):  # loop over chunks, not pairs
+            a, b = _left_cross_pairs(ids[st : st + n], hot_bucket_cap)
+            if len(a):
+                out_a.append(a)
+                out_b.append(b)
+        if not out_a:
+            return empty_pairs
+        t = pa.table({a_col: np.concatenate(out_a),
+                      b_col: np.concatenate(out_b)})
+        return t.group_by([a_col, b_col]).aggregate([])
+
+    cand_big = partitions_to_dataset(spill_parts, chunk_pairs)
+    cand = cand_small.union(cand_big)
     pair_parts = hash_exchange(cand, a_col, num_parts)
 
     def dedup_part(tbl: pa.Table) -> pa.Table:

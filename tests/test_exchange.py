@@ -154,3 +154,79 @@ def test_hash_exchange_zero_blocks(ray_session):
     assert all(t.num_rows == 0 for t in tables)
     out = exchange.partitions_to_dataset(parts)
     assert out.count() == 0
+
+
+def _bruteforce_pairs(ids, buckets):
+    from collections import defaultdict
+
+    by_bucket = defaultdict(set)
+    for i, b in zip(ids, buckets):
+        by_bucket[b].add(int(i))
+    pairs = set()
+    for members in by_bucket.values():
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                pairs.add((ms[x], ms[y]))
+    return pairs
+
+
+def test_segment_triu_pairs_matches_bruteforce():
+    rng = np.random.default_rng(3)
+    buckets = np.sort(rng.integers(0, 12, 200))
+    ids = rng.permutation(10_000)[:200].astype(np.int64)
+    order = np.lexsort((ids, buckets))
+    b_s, i_s = buckets[order], ids[order]
+    starts = np.nonzero(np.concatenate([[True], b_s[1:] != b_s[:-1]]))[0]
+    lens = np.diff(np.concatenate([starts, [len(b_s)]]))
+    a, b = exchange._segment_triu_pairs(i_s, starts, lens)
+    got = set(zip(a.tolist(), b.tolist()))
+    assert got == _bruteforce_pairs(ids, buckets)
+    assert np.all(a < b)
+
+
+def test_left_cross_pairs_covers_triangle():
+    ids = np.arange(100, 117, dtype=np.int64)
+    # chunks of 5 lefts each must tile the full triangle exactly once
+    got = set()
+    cap = 5
+    n = len(ids)
+    for c in range(-(-n // cap)):
+        lo = c * cap
+        a, b = exchange._left_cross_pairs(ids[lo:], cap)
+        chunk_pairs = set(zip(a.tolist(), b.tolist()))
+        assert not (got & chunk_pairs)  # no overlap between chunks
+        got |= chunk_pairs
+    want = {(int(ids[i]), int(ids[j]))
+            for i in range(n) for j in range(i + 1, n)}
+    assert got == want
+
+
+@pytest.mark.parametrize("cap", [8, 1 << 30])
+def test_lsh_candidate_pairs_hot_bucket(ray_session, cap):
+    """A deliberately skewed bucket table (one bucket holds 60 of 90 ids)
+    must produce the identical pair set whether or not the hot-bucket
+    chunk-spill path triggers."""
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    ids = np.arange(90, dtype=np.int64)
+    buckets = np.concatenate(
+        [np.zeros(60, dtype=np.int64),  # hot bucket
+         rng.integers(1, 12, 30)]
+    )
+    # a few ids appear in several buckets (multi-band reality)
+    extra_ids = ids[:10]
+    extra_buckets = np.full(10, 5, dtype=np.int64)
+    all_ids = np.concatenate([ids, extra_ids])
+    all_buckets = np.concatenate([buckets, extra_buckets])
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": all_ids, "bucket": all_buckets})
+    ).repartition(4)
+    out = exchange.lsh_candidate_pairs(
+        ds, "doc_id", "bucket", num_parts=4, a_col="doc_a", b_col="doc_b",
+        hot_bucket_cap=cap,
+    ).to_pandas()
+    got = set(zip(out["doc_a"].tolist(), out["doc_b"].tolist()))
+    assert got == _bruteforce_pairs(all_ids, all_buckets)
+    assert len(got) == len(out)  # deduped

@@ -204,3 +204,44 @@ def test_embedding_near_dup(ray_session):
     certain = {(i, i + 40) for i in range(10)}
     assert certain <= want
     assert len(certain & got_pairs) >= 8  # LSH recall on cos~1 pairs
+
+
+def test_near_dup_skewed_corpus_hot_bucket_path(ray_session):
+    """Boilerplate-heavy corpus: 10%+ of docs share one string, funneling
+    them into the same LSH buckets.  The hot-bucket chunk-spill path
+    (hot_bucket_cap small) must produce the identical verified pair set as
+    the unchunked path."""
+    import pandas as pd
+    import ray.data
+
+    from s2_geometry_rust_ray.pipelines import textops
+
+    rng = np.random.default_rng(5)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    boiler = "terms of service apply all rights reserved contact us today"
+    texts, ids = [], []
+    for i in range(80):
+        if i % 5 == 0:  # 20% boilerplate duplicates -> hot buckets
+            texts.append(boiler)
+        else:
+            texts.append(" ".join(rng.choice(words, size=12)))
+        ids.append(i)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64),
+                      "text": texts})
+    ).repartition(4)
+
+    def run(cap):
+        out = textops.near_dup_pairs(
+            ds, num_parts=4, hot_bucket_cap=cap
+        ).to_pandas()
+        return set(zip(out["doc_a"].tolist(), out["doc_b"].tolist()))
+
+    hot = run(3)        # boilerplate bucket (16 docs) >> cap: spill path
+    plain = run(1 << 30)
+    assert hot == plain
+    # the boilerplate docs must all pair with each other (exact dups)
+    boiler_ids = [i for i in ids if i % 5 == 0]
+    for x in range(len(boiler_ids)):
+        for y in range(x + 1, len(boiler_ids)):
+            assert (boiler_ids[x], boiler_ids[y]) in hot
