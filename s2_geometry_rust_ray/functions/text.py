@@ -110,21 +110,27 @@ def md5_hash64(texts: pd.Series) -> np.ndarray:
 
 def fingerprint(texts: pd.Series, window: int = 8) -> np.ndarray:
     """Winnowing-style document fingerprint: min of rolling hashes of
-    character windows (rows-only check).
+    character windows.
 
-    Vectorized: all window hashes h[j] = sum_t byte[j+t] * B^(w-1-t)
-    (mod 2^64, numpy wraparound) computed at once via a sliding-window
-    view — no per-byte Python loop."""
+    h[j] = sum_t codepoint[j+t] * B^(w-1-t) mod 2^64 (numpy uint64
+    wraparound), min over all windows; docs shorter than `window` fall
+    back to the md5-prefix hash.  Operates on Unicode CODE POINTS (not
+    utf-8 bytes) so the DuckDB twin's ord(substr(text, j, 1)) reproduces
+    it bit-exactly on any input (oracle/sql.q_fingerprints).  Vectorized:
+    all window hashes at once via a sliding-window view — no per-char
+    Python loop."""
     out = np.empty(len(texts), dtype=np.int64)
     B = np.uint64(1000003)
     powers = B ** np.arange(window - 1, -1, -1, dtype=np.uint64)  # B^(w-1)..B^0
     with np.errstate(over="ignore"):
         for i, t in enumerate(texts):
-            b = str(t).encode("utf-8")
-            if len(b) < window:
+            s = str(t)
+            if len(s) < window:
                 out[i] = md5_hash64(pd.Series([t]))[0]
                 continue
-            arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+            arr = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.uint64
+            )
             v = np.lib.stride_tricks.sliding_window_view(arr, window)
             h = (v * powers[None, :]).sum(axis=1, dtype=np.uint64)
             out[i] = h.min().astype(np.int64)

@@ -34,26 +34,31 @@ def _edges_of(geom) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _edge_chord2_matrix(geom, pts: np.ndarray) -> np.ndarray:
+    """(n_pts, n_edges) chord^2 matrix via the shared vectorized kernel
+    (stages/distance.points_edge_chord2_matrix) — the ONE point-to-edge
+    implementation in the engine."""
+    from ..stages.distance import _edge_consts_from_ab, points_edge_chord2_matrix
+
+    a, b = _edges_of(geom)
+    consts = _edge_consts_from_ab(a, b)
+    pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
+    return points_edge_chord2_matrix(pts[:, 0], pts[:, 1], pts[:, 2], consts)
+
+
 def closest_edge_query(geom, pts: np.ndarray, max_results: int = 1,
                        max_distance: float | None = None):
     """S2ClosestEdgeQuery semantics: for each query point the nearest
     edge(s) of `geom`, sorted by distance; optional max_distance (radians)
-    filter.  Returns list per point of (edge_index, chord2, closest_xyz)."""
-    from .coverer import _point_to_arc_chord2
-
-    a, b = _edges_of(geom)
-    normals = np.cross(a, b)
-    pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
-    out = []
+    filter.  Returns list per point of (edge_index, chord2)."""
+    d2_mat = _edge_chord2_matrix(geom, pts)
     max_c2 = None
     if max_distance is not None:
         from .cap import chord2_from_radians
 
         max_c2 = chord2_from_radians(max_distance)
-    for p in pts:
-        d2 = np.array(
-            [_point_to_arc_chord2(p, a[e], b[e], normals[e]) for e in range(len(a))]
-        )
+    out = []
+    for d2 in d2_mat:
         order = np.argsort(d2, kind="stable")
         res = []
         for e in order[:max_results]:
@@ -109,19 +114,9 @@ def furthest_edge_query(geom, pts: np.ndarray, max_results: int = 1):
 def distance_to_boundary(geom, pts: np.ndarray) -> np.ndarray:
     """Min chord^2 from each point to the geometry's boundary (canonical
     point<->edge great-circle distance — the port uses vertex-only distance,
-    src/loop.rs:541-547; SURVEY §0)."""
-    from .coverer import _point_to_arc_chord2
-
-    a, b = _edges_of(geom)
-    normals = np.cross(a, b)
-    pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
-    out = np.full(pts.shape[0], np.inf)
-    for e in range(len(a)):
-        for i, p in enumerate(pts):
-            d2 = _point_to_arc_chord2(p, a[e], b[e], normals[e])
-            if d2 < out[i]:
-                out[i] = d2
-    return out
+    src/loop.rs:541-547; SURVEY §0).  Routed through the shared vectorized
+    kernel; no per-(point, edge) scalar loop."""
+    return _edge_chord2_matrix(geom, pts).min(axis=1)
 
 
 def crossing_edge_query(geom, c: np.ndarray, d: np.ndarray,
@@ -208,17 +203,13 @@ def convex_hull_query(pts: np.ndarray) -> np.ndarray:
 def closest_cell_distance(cell_id: int, p: np.ndarray) -> float:
     """S2ClosestCellQuery primitive: chord^2 from point to a cell (0 if
     inside)."""
-    from .coverer import _point_to_arc_chord2
+    from ..stages.distance import _edge_consts_from_ab, points_min_edge_chord2
 
     cell = Cell(int(cell_id))
     if cell.contains_point(p):
         return 0.0
     verts = cell.vertices()
     nxt = np.roll(verts, -1, axis=0)
-    normals = np.cross(verts, nxt)
-    return float(
-        min(
-            _point_to_arc_chord2(p, verts[e], nxt[e], normals[e])
-            for e in range(4)
-        )
-    )
+    consts = _edge_consts_from_ab(verts, nxt)
+    p = np.asarray(p, dtype=np.float64)
+    return float(points_min_edge_chord2(p[0:1], p[1:2], p[2:3], consts)[0])

@@ -264,6 +264,53 @@ def q_near_dup_pairs(num_hashes: int = 32, band_size: int = 4,
   WHERE jaccard >= {flit(threshold)}"""
 
 
+def q_fingerprints(window: int = 8) -> str:
+    """SQL twin of functions/text.fingerprint over `documents`: per doc,
+    min over all `window`-char windows of the rolling hash
+    sum_t ord(char[j+t]) * B^(w-1-t) mod 2^64 (B = 1000003).  The engine
+    computes the same sum in numpy uint64 (wraparound IS mod 2^64); here
+    the B^k mod 2^64 constants arrive as UBIGINT literals and products run
+    through HUGEINT before reducing mod 2^64 (DuckDB UBIGINT multiply
+    range-errors instead of wrapping).  Docs shorter than `window` fall
+    back to the md5-prefix hash, as in the engine.  Output wraps to the
+    engine's int64 view via the established HUGEINT detour."""
+    mod = 1 << 64
+    B = 1000003
+    pow_rows = ", ".join(
+        f"({t},{pow(B, window - 1 - t, mod)}::UBIGINT)" for t in range(window)
+    )
+    m_h = "18446744073709551616::HUGEINT"
+    return f"""WITH pw(t, w) AS (VALUES {pow_rows}),
+  long_docs AS (
+    SELECT doc_id, text, length(text) AS n
+    FROM documents WHERE length(text) >= {window}
+  ),
+  win AS (
+    SELECT doc_id, text,
+           unnest(range(1, n - {window} + 2)) AS j
+    FROM long_docs
+  ),
+  wh AS (
+    SELECT wi.doc_id, wi.j,
+           CAST(SUM((CAST(ord(substr(wi.text, CAST(wi.j + pw.t AS INTEGER), 1))
+                          AS HUGEINT) * CAST(pw.w AS HUGEINT)) % {m_h})
+                % {m_h} AS UBIGINT) AS h
+    FROM win wi CROSS JOIN pw
+    GROUP BY 1, 2
+  ),
+  mins AS (SELECT doc_id, min(h) AS fp FROM wh GROUP BY 1),
+  short_docs AS (
+    SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 16)) AS UBIGINT) AS fp
+    FROM documents WHERE length(text) < {window}
+  ),
+  allfp AS (SELECT * FROM mins UNION ALL SELECT * FROM short_docs)
+  SELECT doc_id,
+         CAST(CAST(fp AS HUGEINT)
+              - CASE WHEN fp >= 9223372036854775808::UBIGINT
+                     THEN {m_h} ELSE 0::HUGEINT END AS BIGINT) AS fingerprint
+  FROM allfp"""
+
+
 def q_loop_measures(layer) -> str:
     """Recursive-CTE twin of pipelines/measures.loop_measures: per loop,
     the rational tangent-half-area fold over the SAME vertex float

@@ -45,15 +45,20 @@ def loop_vertex_table(layer: dict) -> pa.Table:
     )
 
 
-def loop_measures(layer: dict, num_parts: int = 4):
+def loop_measures(layer: dict, num_parts: int | None = None):
     """Dataset of (loop_key, n_vertices, tan_half_area) for every loop in
     the layer.  Oracle: oracle/sql.q_loop_measures over the same vertex
-    float literals."""
+    float literals.  num_parts=None scales with the cluster, capped at the
+    loop count (one loop per partition is maximal parallelism here)."""
     import ray.data
 
     from ..stages import exchange
 
-    verts = ray.data.from_arrow(loop_vertex_table(layer))
+    tbl = loop_vertex_table(layer)
+    if num_parts is None:
+        n_loops = len(set(tbl["loop_key"].to_pylist()))
+        num_parts = max(1, min(exchange.default_num_parts(), n_loops))
+    verts = ray.data.from_arrow(tbl)
     parts = exchange.hash_exchange(verts, "loop_key", num_parts)
 
     def fold_partition(tbl: pa.Table) -> pa.Table:

@@ -77,7 +77,8 @@ def covering_tiles(layer: dict, level: int, max_cells: int = 128,
     return pa.table(cols)
 
 
-def shuffle_pip_join(ds, key_col: str, layer, level: int = 8, num_parts: int = 16):
+def shuffle_pip_join(ds, key_col: str, layer, level: int = 8,
+                     num_parts: int | None = None):
     """Equi-join points.cell_lK == covering tile (hash exchange), then exact
     PIP refine per (point, polygon) candidate pair.  Output (key, polygon_id)
     identical to the broadcast join.
@@ -109,6 +110,8 @@ def shuffle_pip_join(ds, key_col: str, layer, level: int = 8, num_parts: int = 1
 
     points = ds.map_batches(encode_points, batch_format="pyarrow")
     right = ray.data.from_arrow(covering_tiles(layer, level, with_geometry=True))
+    if num_parts is None:
+        num_parts = exchange.default_num_parts()
     point_parts = exchange.hash_exchange(points, "tile", num_parts)
     tile_parts = exchange.hash_exchange(right, "tile", num_parts)
 

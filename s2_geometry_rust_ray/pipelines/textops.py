@@ -88,7 +88,7 @@ def _rename_col(old: str, new: str):
 
 
 def near_dup_pairs(ds, num_hashes: int = 32, band_size: int = 4,
-                   threshold: float = 0.5, num_parts: int = 16,
+                   threshold: float = 0.5, num_parts: int | None = None,
                    shingle_k: int = 5, shingle_mode: str = "word",
                    hot_bucket_cap: int = 1024):
     """MinHash-LSH near-duplicate pairs: (doc_a, doc_b, jaccard).
@@ -113,6 +113,8 @@ def near_dup_pairs(ds, num_hashes: int = 32, band_size: int = 4,
     integer band fold)."""
     from ..stages import exchange
 
+    if num_parts is None:
+        num_parts = exchange.default_num_parts()
     n_bands = num_hashes // band_size
     sentinel = np.uint64(T.MINHASH_P)
 
@@ -164,7 +166,7 @@ def simhash_table(ds):
     return ds.map_batches(fn, batch_format="pandas")
 
 
-def simhash_near_dup(ds, max_hamming: int = 7, num_parts: int = 16,
+def simhash_near_dup(ds, max_hamming: int = 7, num_parts: int | None = None,
                      hot_bucket_cap: int = 1024):
     """SimHash near-duplicate pairs: (doc_a, doc_b, hamming).
 
@@ -177,6 +179,9 @@ def simhash_near_dup(ds, max_hamming: int = 7, num_parts: int = 16,
     co-located by doc_a.  Empty docs (simhash 0) are excluded from
     banding.  Integer-only => bit-exact vs oracle/sql.q_simhash_near_dup."""
     from ..stages import exchange
+
+    if num_parts is None:
+        num_parts = exchange.default_num_parts()
 
     def band_stage(batch: pd.DataFrame) -> pd.DataFrame:
         sig = T.simhash64_batch(batch["text"])
@@ -225,7 +230,7 @@ def fingerprints(ds):
     return ds.map_batches(fn, batch_format="pandas")
 
 
-def sessionize(ds, gap_minutes: int = 30, num_parts: int = 8):
+def sessionize(ds, gap_minutes: int = 30, num_parts: int | None = None):
     """Session windows over the events log: per user, events sorted by ts
     split into sessions at gaps > gap_minutes.  Output (user_id,
     n_sessions, n_events) — integer-only, so the SQL oracle (lag() +
@@ -238,6 +243,9 @@ def sessionize(ds, gap_minutes: int = 30, num_parts: int = 8):
     import pyarrow as pa
 
     from ..stages import exchange
+
+    if num_parts is None:
+        num_parts = exchange.default_num_parts()
 
     def project(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
@@ -281,7 +289,7 @@ def sessionize(ds, gap_minutes: int = 30, num_parts: int = 8):
 
 
 def asof_join_events(ds, left_type: str = "purchase", right_type: str = "view",
-                     num_parts: int = 8):
+                     num_parts: int | None = None):
     """As-of join over the events log: each `left_type` event matched to the
     most recent STRICTLY-earlier `right_type` event of the same user.
     Output (purchase_id, view_id) inner rows — integer-only, bit-exact vs
@@ -294,6 +302,9 @@ def asof_join_events(ds, left_type: str = "purchase", right_type: str = "view",
     import pyarrow as pa
 
     from ..stages import exchange
+
+    if num_parts is None:
+        num_parts = exchange.default_num_parts()
 
     def project(batch: pa.Table) -> pa.Table:
         et = batch["event_type"].to_numpy(zero_copy_only=False)

@@ -144,7 +144,7 @@ def tile_counts_salted(
 
 
 def cap_bounds(ds: "ray.data.Dataset", key_col: str, level: int = 5,
-               num_parts: int = 8) -> "ray.data.Dataset":
+               num_parts: int | None = None) -> "ray.data.Dataset":
     """Per-tile BOUNDING-CAP aggregate (S2Cap::add_point folded in key
     order, src/cap.rs:285-295): for each level-K tile, the cap anchored at
     the min-key point whose radius covers every point in the tile.
@@ -169,6 +169,8 @@ def cap_bounds(ds: "ray.data.Dataset", key_col: str, level: int = 5,
         )
 
     slim = ds.map_batches(project, batch_format="pyarrow", batch_size=65536)
+    if num_parts is None:
+        num_parts = exchange.default_num_parts()
     parts = exchange.hash_exchange(slim, "tile", num_parts)
 
     def per_partition(tbl: pa.Table) -> pa.Table:

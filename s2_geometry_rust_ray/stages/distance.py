@@ -70,8 +70,8 @@ def polyline_edge_constants(line):
     return _edge_consts_from_ab(line.v[:-1], line.v[1:])
 
 
-def points_min_edge_chord2(px, py, pz, consts) -> np.ndarray:
-    """Min chord^2 from each point to any edge.  (m,) for m points.
+def points_edge_chord2_matrix(px, py, pz, consts) -> np.ndarray:
+    """Chord^2 from each point to each edge: (m, E) matrix.
 
     Identical expression structure to the SQL twin:
       wa = px*nax + py*nay + pz*naz           (>=0: past edge start)
@@ -79,6 +79,10 @@ def points_min_edge_chord2(px, py, pz, consts) -> np.ndarray:
       w  = (px*nx + py*ny + pz*nz) / sqrt(nn)
       in-wedge: 2 - 2*sqrt(max(0, 1 - w_clamped^2))
       else:     min(2 - 2*(p.a), 2 - 2*(p.b))
+
+    The shared kernel behind the distance-r join refine AND the query
+    system's closest-edge / distance-to-boundary (geometry/queries.py) —
+    one implementation, no scalar per-(point, edge) loops anywhere.
     """
     a, b, n, na, bn, nn = consts
     wa = (
@@ -109,8 +113,12 @@ def points_min_edge_chord2(px, py, pz, consts) -> np.ndarray:
         + pz[:, None] * b[None, :, 2]
     )
     d2_end = np.minimum(da, db)
-    d2 = np.where((wa >= 0.0) & (wb >= 0.0), d2_arc, d2_end)
-    return d2.min(axis=1)
+    return np.where((wa >= 0.0) & (wb >= 0.0), d2_arc, d2_end)
+
+
+def points_min_edge_chord2(px, py, pz, consts) -> np.ndarray:
+    """Min chord^2 from each point to any edge.  (m,) for m points."""
+    return points_edge_chord2_matrix(px, py, pz, consts).min(axis=1)
 
 
 def prepare_distance_layer(layer: dict, radius_rad: float, chord2: float,

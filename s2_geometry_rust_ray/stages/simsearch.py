@@ -188,7 +188,7 @@ def ann_topk_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, centroids,
 
 
 def embedding_near_dup(ds, threshold: float = 0.9, num_planes: int = 16,
-                       num_parts: int = 16, dim: int = 64, seed: int = 7):
+                       num_parts: int | None = None, dim: int = 64, seed: int = 7):
     """Embedding-cosine near-duplicate pairs: (vec_id_a, vec_id_b, cosine).
 
     Hyperplane LSH: sign pattern of `num_planes` seeded random hyperplanes
@@ -203,6 +203,8 @@ def embedding_near_dup(ds, threshold: float = 0.9, num_planes: int = 16,
     """
     from . import exchange
 
+    if num_parts is None:
+        num_parts = exchange.default_num_parts()
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(num_planes, dim)).astype(np.float64)
 

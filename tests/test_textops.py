@@ -245,3 +245,29 @@ def test_near_dup_skewed_corpus_hot_bucket_path(ray_session):
     for x in range(len(boiler_ids)):
         for y in range(x + 1, len(boiler_ids)):
             assert (boiler_ids[x], boiler_ids[y]) in hot
+
+
+def test_fingerprint_sql_twin_non_ascii():
+    """The rolling-hash fingerprint operates on Unicode code points, so the
+    DuckDB ord(substr(...)) twin must match bit-exactly on non-ASCII text
+    too (and on the short-doc md5 fallback)."""
+    import duckdb
+    import pandas as pd
+
+    from s2_geometry_rust_ray.functions import text as T
+    from s2_geometry_rust_ray.oracle import sql as osql
+
+    texts = [
+        "héllo wörld ünïcode text",
+        "日本語のテキストです、これは",
+        "plain ascii text here",
+        "soup",  # < window: md5 fallback
+        "",
+        "mixed ascii und äöü and 漢字 tail",
+    ]
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = T.fingerprint(docs["text"])
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(osql.q_fingerprints()).df().sort_values("doc_id")
+    assert np.array_equal(got, want["fingerprint"].to_numpy())
