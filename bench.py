@@ -89,6 +89,46 @@ def expanded_events(sf_dir: str, expand: int):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def expanded_docs(sf_dir: str, expand: int, n_boiler: int = 400):
+    """documents x EXPAND replicas with word-rotated text (distinct
+    shingles, so replicas do NOT near-dup) plus `n_boiler` docs overwritten
+    with one shared boilerplate string — the deliberately skewed corpus for
+    the LSH hot-bucket path: all boilerplate docs collide in every band
+    bucket, so uncapped pair emission would funnel ~n_boiler^2/2 pairs
+    into one task."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = t["doc_id"].to_numpy()
+    texts = np.array(t["text"].to_pylist(), dtype=object)
+    n_total = len(ids) * expand
+    boiler_every = max(1, n_total // n_boiler)
+    boiler = ("terms of service apply all rights reserved contact us today "
+              "please read this notice carefully before proceeding further")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ds = ray.data.range(n_total, override_num_blocks=max(ncpu, n_total // 20_000))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        i = batch["id"].to_numpy(zero_copy_only=False)
+        j = i // expand
+        rep = (i % expand).astype(np.int64)
+        doc_id = (ids[j] * expand + rep).astype(np.int64)
+        out = []
+        for jj, rr, did in zip(j, rep, doc_id):
+            if did % boiler_every == 0:
+                out.append(boiler)
+            else:
+                w = str(texts[jj]).split()
+                r = int(rr) % max(1, len(w))
+                out.append(" ".join(w[r:] + w[:r]))
+        return pa.table({"doc_id": doc_id, "text": pa.array(out, pa.string())})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def run_benchmarks() -> dict:
     import ray
 
@@ -171,6 +211,24 @@ def run_benchmarks() -> dict:
         ev = expanded_events(SF_DIR, EXPAND)
         textops.sessionize(ev, gap_minutes=30, num_parts=NUM_CPUS).count()
         queries["sessions_16x"] = time.perf_counter() - t0
+
+        # doc pipeline on a deliberately skewed corpus (one boilerplate
+        # string shared by ~400 docs): capped run exercises the hot-bucket
+        # chunk-spill path; the uncapped control shows there is no
+        # single-task funnel left either way (pair emission is vectorized)
+        t0 = time.perf_counter()
+        docs = expanded_docs(SF_DIR, 8, n_boiler=400)
+        textops.near_dup_pairs(
+            docs, num_parts=NUM_CPUS, hot_bucket_cap=64
+        ).count()
+        queries["near_dup_40k_skew"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        docs = expanded_docs(SF_DIR, 8, n_boiler=400)
+        textops.near_dup_pairs(
+            docs, num_parts=NUM_CPUS, hot_bucket_cap=1 << 30
+        ).count()
+        queries["near_dup_40k_skew_uncapped"] = time.perf_counter() - t0
 
         # bandwidth-ceiling control: the SAME expanded source through a
         # no-op (per-batch sum) kernel — the floor below the headline is

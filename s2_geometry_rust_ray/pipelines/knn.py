@@ -25,7 +25,30 @@ def make_queries(n_queries: int = 50):
     return {"query_id": qid, "x": x, "y": y, "z": z, "lat": lat, "lng": lng}
 
 
-def knn_brute(ds, key_col: str, k: int = 5, n_queries: int = 50, concurrency=(1, 8)):
+def merge_partials(partials, k: int, merge: str = "single"):
+    """Global top-k merge of per-partition (query_id, neighbor, d2) rows.
+
+    merge='single': one reduce task — right whenever Q*k*num_blocks is
+    small (the common case; every partial is already top-k-truncated).
+    merge='distributed': hash-exchange by query_id + per-partition merge —
+    the large-Q path, no repartition(1) anywhere; a query's rows all meet
+    in exactly one partition, so the per-partition merge is final."""
+    if merge == "single":
+        return partials.repartition(1).map_batches(
+            lambda b: knn_stages.merge_topk(b, k), batch_format="pyarrow"
+        )
+    from ..stages import exchange
+
+    parts = exchange.hash_exchange(
+        partials, "query_id", exchange.default_num_parts()
+    )
+    return exchange.partitions_to_dataset(
+        parts, lambda t: knn_stages.merge_topk(t, k)
+    )
+
+
+def knn_brute(ds, key_col: str, k: int = 5, n_queries: int = 50,
+              concurrency=(1, 8), merge: str = "single"):
     """Exact kNN: (query_id, neighbor, d2, rank) — brute-force baseline."""
     queries = make_queries(n_queries)
     tagged = ds.map_batches(
@@ -38,18 +61,22 @@ def knn_brute(ds, key_col: str, k: int = 5, n_queries: int = 50, concurrency=(1,
         batch_size=262144,
         concurrency=concurrency,
     )
-    # each partition emits <= Q*k rows, so the global merge input is tiny
-    # (B_blocks * Q * k); one single-task reduce suffices.  For very large Q
-    # use sort("query_id") + per-block merge + boundary fix instead.
-    return partials.repartition(1).map_batches(
-        lambda b: knn_stages.merge_topk(b, k), batch_format="pyarrow"
-    )
+    # each partition emits <= Q*k rows, so the single-task merge input is
+    # tiny (B_blocks * Q * k); merge='distributed' for very large Q
+    return merge_partials(partials, k, merge)
 
 
 def knn_cell(ds, key_col: str, k: int = 5, n_queries: int = 50,
-             n_estimate: int | None = None, concurrency=(1, 8)):
+             n_estimate: int | None = None, concurrency=(1, 8),
+             merge: str = "single"):
     """Exact kNN via cell-range pruning — the 10^12-row path.  Identical
-    output to knn_brute; per-batch work is O(candidates) instead of O(N)."""
+    output to knn_brute; per-batch work is O(candidates) instead of O(N).
+
+    n_estimate sizes the initial search rings.  The default ds.count() is
+    metadata-only (no data scan) when `ds` is a fresh read_parquet Dataset;
+    pass it explicitly when `ds` already has transforms attached (count()
+    would execute them) — any same-order estimate works, the conservative
+    radius-termination logic keeps the result exact either way."""
     queries = make_queries(n_queries)
     if n_estimate is None:
         n_estimate = ds.count()
@@ -66,6 +93,4 @@ def knn_cell(ds, key_col: str, k: int = 5, n_queries: int = 50,
         batch_size=262144,
         concurrency=concurrency,
     )
-    return partials.repartition(1).map_batches(
-        lambda b: knn_stages.merge_topk(b, k), batch_format="pyarrow"
-    )
+    return merge_partials(partials, k, merge)

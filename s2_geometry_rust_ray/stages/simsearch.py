@@ -80,8 +80,24 @@ def merge_topk(batch: pa.Table, k: int) -> pa.Table:
     )
 
 
+def _merge_partials(partials, k: int, merge: str):
+    """merge='single': one bounded reduce task (blocks * Q * k rows).
+    merge='distributed': hash-exchange by query_id + per-partition final
+    merge — the large-Q path with no repartition(1)."""
+    if merge == "single":
+        return partials.repartition(1).map_batches(
+            lambda b: merge_topk(b, k), batch_format="pyarrow"
+        )
+    from . import exchange
+
+    parts = exchange.hash_exchange(
+        partials, "query_id", exchange.default_num_parts()
+    )
+    return exchange.partitions_to_dataset(parts, lambda t: merge_topk(t, k))
+
+
 def ann_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
-             concurrency=(1, 8)):
+             concurrency=(1, 8), merge: str = "single"):
     """Brute-force cosine top-k pipeline (baseline)."""
     partials = ds.map_batches(
         BruteCosineTopK,
@@ -90,9 +106,7 @@ def ann_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
         batch_size=65536,
         concurrency=concurrency,
     )
-    return partials.repartition(1).map_batches(
-        lambda b: merge_topk(b, k), batch_format="pyarrow"
-    )
+    return _merge_partials(partials, k, merge)
 
 
 def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 8,
@@ -132,7 +146,8 @@ class IVFAssign:
 
 
 def ann_topk_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, centroids,
-                 k: int = 10, nprobe: int = 4, concurrency=(1, 8)):
+                 k: int = 10, nprobe: int = 4, concurrency=(1, 8),
+                 merge: str = "single"):
     """IVF-pruned cosine top-k: scan only batches' rows whose bucket is in
     each query's nprobe nearest buckets.  Approximate (standard IVF recall
     tradeoff); bucket assignment is the partition key at scale."""
@@ -182,9 +197,7 @@ def ann_topk_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, centroids,
         batch_size=65536,
         concurrency=concurrency,
     )
-    return partials.repartition(1).map_batches(
-        lambda b: merge_topk(b, k), batch_format="pyarrow"
-    )
+    return _merge_partials(partials, k, merge)
 
 
 def embedding_near_dup(ds, threshold: float = 0.9, num_planes: int = 16,

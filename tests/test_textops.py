@@ -271,3 +271,35 @@ def test_fingerprint_sql_twin_non_ascii():
     con.register("documents", docs)
     want = con.execute(osql.q_fingerprints()).df().sort_values("doc_id")
     assert np.array_equal(got, want["fingerprint"].to_numpy())
+
+
+def test_distributed_topk_merge_matches_single(ray_session):
+    """merge='distributed' (hash-exchange by query_id, no repartition(1))
+    must equal merge='single' for both the ANN and kNN pipelines."""
+    import ray.data
+
+    from s2_geometry_rust_ray.stages import simsearch
+    from s2_geometry_rust_ray.pipelines import knn as pknn
+
+    ds = ray.data.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).repartition(4)
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=(6, 64)).astype("float32")
+    a = simsearch.ann_topk(ds, q, np.arange(6), k=5).to_pandas()
+    b = simsearch.ann_topk(ds, q, np.arange(6), k=5,
+                           merge="distributed").to_pandas()
+    cols = ["query_id", "rank", "vec_id"]
+    a = a.sort_values(cols).reset_index(drop=True)
+    b = b.sort_values(cols).reset_index(drop=True)
+    assert a[cols].equals(b[cols])
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id"]).repartition(4)
+    ka = pknn.knn_brute(docs, "doc_id", k=3, n_queries=8).to_pandas()
+    kb = pknn.knn_brute(docs, "doc_id", k=3, n_queries=8,
+                        merge="distributed").to_pandas()
+    cols = ["query_id", "rank", "neighbor"]
+    ka = ka.sort_values(cols).reset_index(drop=True)
+    kb = kb.sort_values(cols).reset_index(drop=True)
+    assert ka[cols].equals(kb[cols])
