@@ -258,6 +258,64 @@ def crossing_sign(a, b, c, d):
     return 1 if dac == acb else -1
 
 
+class EdgeCrosser:
+    """S2EdgeCrosser with chain amortization — canonical C++
+    s2edge_crosser.h semantics (the reference's crossing_sign_chain,
+    edge_crosser.rs:126-170, is a documented float-product approximation
+    with 1e-15 vertex heuristics — SURVEY §0 — so the robust sign stack is
+    used instead).  For a fixed edge AB tested against a vertex chain
+    c0,c1,c2,..., sign(A,B,c_i) is computed ONCE per chain vertex and
+    carried over as `acb` for the next edge — half the robust-sign work of
+    pairwise crossing_sign calls, identical results."""
+
+    def __init__(self, a, b):
+        self.a = np.asarray(a, dtype=np.float64)
+        self.b = np.asarray(b, dtype=np.float64)
+        self._degenerate = bool(np.array_equal(self.a, self.b))
+        self.c = None
+        self.acb = 0
+
+    def restart_at(self, c):
+        self.c = np.asarray(c, dtype=np.float64)
+        self.acb = -sign(self.a, self.b, self.c)
+
+    def crossing_sign(self, c, d):
+        """Pairwise entry point: restarts the chain if `c` is not the
+        cached chain vertex, then steps to `d`."""
+        c = np.asarray(c, dtype=np.float64)
+        if self.c is None or not np.array_equal(self.c, c):
+            self.restart_at(c)
+        return self.crossing_sign_chain(d)
+
+    def crossing_sign_chain(self, d):
+        """Step the chain from the cached vertex C to D; returns the same
+        +1/0/-1 as crossing_sign(a, b, C, D).  State always advances so the
+        next call tests edge (D, next)."""
+        d = np.asarray(d, dtype=np.float64)
+        c, acb = self.c, self.acb
+        a, b = self.a, self.b
+        bda = sign(a, b, d)
+        # advance chain state regardless of the outcome below
+        self.c = d
+        self.acb = -bda
+        if (
+            np.array_equal(a, c)
+            or np.array_equal(a, d)
+            or np.array_equal(b, c)
+            or np.array_equal(b, d)
+        ):
+            return 0
+        if self._degenerate or np.array_equal(c, d):
+            return -1
+        if bda != acb:
+            return -1
+        cbd = -sign(c, d, b)
+        if cbd != acb:
+            return -1
+        dac = sign(c, d, a)
+        return 1 if dac == acb else -1
+
+
 def edge_or_vertex_crossing(a, b, c, d):
     """The PIP parity workhorse (src/predicates.rs:687-700)."""
     cs = crossing_sign(a, b, c, d)

@@ -122,13 +122,40 @@ def distance_to_boundary(geom, pts: np.ndarray) -> np.ndarray:
 def crossing_edge_query(geom, c: np.ndarray, d: np.ndarray,
                         include_touching: bool = False) -> list[int]:
     """S2CrossingEdgeQuery: indices of `geom` edges crossing segment (c,d);
-    include_touching adds shared-vertex / vertex-crossing contacts."""
-    a, b = _edges_of(geom)
+    include_touching adds shared-vertex / vertex-crossing contacts.
+
+    Walks each loop/polyline as a CHAIN through an EdgeCrosser fixed at
+    (c,d): sign((c,d), vertex) is computed once per chain vertex instead
+    of twice per edge (the S2EdgeCrosser amortization, canonical
+    s2edge_crosser.h; see functions/predicates.EdgeCrosser)."""
+    from .loop import Loop, Polygon
+    from .polyline import Polyline
+
+    if isinstance(geom, Polygon):
+        chains = [(lp.v, True) for lp in geom.loops]
+    elif isinstance(geom, Loop):
+        chains = [(geom.v, True)]
+    elif isinstance(geom, Polyline):
+        chains = [(geom.v, False)]
+    else:
+        raise TypeError(type(geom))
+    crosser = pred.EdgeCrosser(c, d)
     hits = []
-    for e in range(len(a)):
-        cs = pred.crossing_sign(a[e], b[e], c, d)
-        if cs > 0 or (include_touching and cs == 0 and pred.vertex_crossing(a[e], b[e], c, d)):
-            hits.append(e)
+    base = 0
+    for verts, closed in chains:
+        n = len(verts)
+        n_edges = n if closed else n - 1
+        crosser.restart_at(verts[0])
+        for e in range(n_edges):
+            nxt = verts[(e + 1) % n]
+            cs = crosser.crossing_sign_chain(nxt)
+            if cs > 0 or (
+                include_touching
+                and cs == 0
+                and pred.vertex_crossing(verts[e], nxt, c, d)
+            ):
+                hits.append(base + e)
+        base += n_edges
     return hits
 
 

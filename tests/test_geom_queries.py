@@ -255,3 +255,33 @@ def test_interval_hausdorff():
     v = S1Interval(-math.pi, -math.pi + 0.1)
     assert u.directed_hausdorff(v) == pytest.approx(0.1, abs=1e-12)
     assert S1Interval(0.0, 1.0).directed_hausdorff(S1Interval(0.0, 1.0)) == 0.0
+
+
+def test_edge_crosser_chain_matches_pairwise():
+    """EdgeCrosser chain results must equal standalone crossing_sign for
+    every edge of a random chain, including shared-vertex cases."""
+    from s2_geometry_rust_ray.functions import predicates as pred
+
+    rng = np.random.default_rng(13)
+    pts = rng.normal(size=(40, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    a, b = pts[0], pts[1]
+    chain = pts[2:]
+    crosser = pred.EdgeCrosser(a, b)
+    crosser.restart_at(chain[0])
+    for i in range(len(chain) - 1):
+        want = pred.crossing_sign(a, b, chain[i], chain[i + 1])
+        got = crosser.crossing_sign_chain(chain[i + 1])
+        assert got == want, i
+    # shared-vertex chain step -> 0, state still advances
+    crosser.restart_at(chain[0])
+    assert crosser.crossing_sign_chain(a) == 0
+    assert crosser.crossing_sign_chain(chain[5]) == pred.crossing_sign(
+        a, b, a, chain[5]
+    )
+    # pairwise entry point restarts automatically
+    c2 = pred.EdgeCrosser(a, b)
+    for i in range(0, len(chain) - 1, 2):  # non-chained call pattern
+        assert c2.crossing_sign(chain[i], chain[i + 1]) == pred.crossing_sign(
+            a, b, chain[i], chain[i + 1]
+        )
