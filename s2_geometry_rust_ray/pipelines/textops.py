@@ -360,7 +360,11 @@ def window_counts(ds):
         window_s = epoch_us // 3_600_000_000 * 3600
         et = batch["event_type"].to_numpy(zero_copy_only=False)
         val = np.floor(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
-        key = np.array([f"{e}|{w}" for e, w in zip(et, window_s)], dtype=object)
+        # composite combine key via vectorized pandas string ops (the
+        # per-row f-string loop was the last Python loop in this kernel);
+        # the string key stays globally consistent across batches, which
+        # an integer factorize per batch would not be
+        key = (pd.Series(et).astype(str) + "|" + pd.Series(window_s).astype(str)).to_numpy(dtype=object)
         df = pd.DataFrame(
             {"key": key, "event_type": et, "window_s": window_s,
              "n": np.ones(len(et), dtype=np.int64), "sum_floor_value": val}
