@@ -90,12 +90,14 @@ def expanded_events(sf_dir: str, expand: int):
 
 
 def expanded_docs(sf_dir: str, expand: int, n_boiler: int = 400):
-    """documents x EXPAND replicas with word-rotated text (distinct
-    shingles, so replicas do NOT near-dup) plus `n_boiler` docs overwritten
-    with one shared boilerplate string — the deliberately skewed corpus for
-    the LSH hot-bucket path: all boilerplate docs collide in every band
-    bucket, so uncapped pair emission would funnel ~n_boiler^2/2 pairs
-    into one task."""
+    """documents x EXPAND replicas with deterministically word-SHUFFLED
+    text (a random permutation destroys 5-gram shingle sequences — a mere
+    rotation would preserve ~94% of them and make every replica group
+    near-dup, swamping the skew signal) plus `n_boiler` docs overwritten
+    with one shared boilerplate string — the deliberately skewed corpus
+    for the LSH hot-bucket path: all boilerplate docs collide in every
+    band bucket, so uncapped pair emission would funnel ~n_boiler^2/2
+    pairs into one task."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -122,8 +124,8 @@ def expanded_docs(sf_dir: str, expand: int, n_boiler: int = 400):
                 out.append(boiler)
             else:
                 w = str(texts[jj]).split()
-                r = int(rr) % max(1, len(w))
-                out.append(" ".join(w[r:] + w[:r]))
+                perm = np.random.default_rng(int(did)).permutation(len(w))
+                out.append(" ".join(w[p] for p in perm))
         return pa.table({"doc_id": doc_id, "text": pa.array(out, pa.string())})
 
     return ds.map_batches(explode, batch_format="pyarrow")

@@ -392,7 +392,12 @@ def compare_edge_distance(x, a0, a1, r2: float) -> int:
     # agree the answer is safe either way)
     wedge_tol = 16.0 * eps * math.sqrt(max(nn, eps))
     in_wedge = nn > 0.0 and wedge0 >= 0.0 and wedge1 >= 0.0
-    wedge_certain = nn > 0.0 and abs(wedge0) > wedge_tol and abs(wedge1) > wedge_tol
+    # certainty is asymmetric: INSIDE needs both dots decisively positive,
+    # but OUTSIDE needs only ONE dot decisively negative (one certain
+    # negative proves the perpendicular foot is off the arc, regardless of
+    # how close the other dot is to zero)
+    inside_certain = nn > 0.0 and wedge0 > wedge_tol and wedge1 > wedge_tol
+    outside_certain = nn > 0.0 and (wedge0 < -wedge_tol or wedge1 < -wedge_tol)
 
     def interior_sign() -> int:
         w = float(x @ n) / math.sqrt(nn)
@@ -412,14 +417,13 @@ def compare_edge_distance(x, a0, a1, r2: float) -> int:
     def endpoint_sign() -> int:
         return min(compare_distance(x, a0, r2), compare_distance(x, a1, r2))
 
-    if in_wedge:
-        si = interior_sign()
-        if wedge_certain:
-            return si
-        se = endpoint_sign()
-        return si if si == se else 0
-    if nn > 0.0 and not wedge_certain:
-        si = interior_sign()
-        se = endpoint_sign()
-        return se if si == se else 0
-    return endpoint_sign()
+    if outside_certain or nn <= 0.0:
+        return endpoint_sign()
+    if in_wedge and inside_certain:
+        return interior_sign()
+    # ambiguous wedge membership: the interior perpendicular distance is a
+    # lower bound and the endpoint distance an upper bound on the true
+    # distance — when both give the same sign vs r2 that sign is safe
+    si = interior_sign()
+    se = endpoint_sign()
+    return si if si == se else 0

@@ -112,13 +112,7 @@ def _cell_ball(cid: int):
     return c, r
 
 
-def _edge_balls(a: np.ndarray, b: np.ndarray):
-    m = a + b
-    norm = np.linalg.norm(m, axis=1, keepdims=True)
-    ok = norm[:, 0] > 1e-9
-    m = np.where(ok[:, None], m / np.where(norm == 0.0, 1.0, norm), 0.0)
-    r = np.where(ok, np.linalg.norm(a - m, axis=1), 2.0)
-    return m, r
+from .boolean import _edge_balls  # shared conservative-prune primitive
 
 
 class MutableShapeIndex:
@@ -185,6 +179,18 @@ class MutableShapeIndex:
         rows.sort(key=lambda r: (cellid.to_sort_key(
             np.array([r[0]], dtype=np.uint64))[0], r[1]))
         self._built = rows
+        # point-location structure: cell_id -> grouped postings, plus the
+        # set of levels present — contains_point then does one ancestor
+        # lookup per level instead of scanning the whole index
+        by_cell: dict[int, list] = {}
+        for cid, sid, eids, cc in rows:
+            by_cell.setdefault(int(cid), []).append((sid, eids, cc))
+        self._by_cell = by_cell
+        if rows:
+            cids = np.array([r[0] for r in rows], dtype=np.uint64)
+            self._levels = sorted(set(cellid.level(cids).tolist()))
+        else:
+            self._levels = []
         return rows
 
     def iterator(self):
@@ -226,18 +232,18 @@ class MutableShapeIndex:
         )
 
     def _locate_cell(self, p: np.ndarray):
-        """Index cells containing point p (ancestors of p's leaf)."""
-        leaf = int(cellid.from_xyz(
+        """Index cells containing point p: one ancestor hash lookup per
+        level present in the index (O(levels), not O(index cells))."""
+        self.build()
+        leaf = cellid.from_xyz(
             np.array([p[0]]), np.array([p[1]]), np.array([p[2]])
-        )[0])
+        )
         hits = []
-        for cid, group in self.iterator():
-            lvl = cellid.level(np.array([cid], dtype=np.uint64))[0]
-            anc = int(cellid.parent(
-                np.array([leaf], dtype=np.uint64), int(lvl)
-            )[0])
-            if anc == cid:
-                hits.append((cid, group))
+        for lvl in self._levels:
+            anc = int(cellid.parent(leaf, int(lvl))[0])
+            group = self._by_cell.get(anc)
+            if group is not None:
+                hits.append((anc, group))
         return hits
 
     def contains_point(self, p: np.ndarray) -> set[int]:

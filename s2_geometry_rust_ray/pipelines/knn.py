@@ -26,24 +26,12 @@ def make_queries(n_queries: int = 50):
 
 
 def merge_partials(partials, k: int, merge: str = "single"):
-    """Global top-k merge of per-partition (query_id, neighbor, d2) rows.
-
-    merge='single': one reduce task — right whenever Q*k*num_blocks is
-    small (the common case; every partial is already top-k-truncated).
-    merge='distributed': hash-exchange by query_id + per-partition merge —
-    the large-Q path, no repartition(1) anywhere; a query's rows all meet
-    in exactly one partition, so the per-partition merge is final."""
-    if merge == "single":
-        return partials.repartition(1).map_batches(
-            lambda b: knn_stages.merge_topk(b, k), batch_format="pyarrow"
-        )
+    """Global top-k merge of per-partition (query_id, neighbor, d2) rows —
+    delegates to the shared stages/exchange.topk_merge_partials tail."""
     from ..stages import exchange
 
-    parts = exchange.hash_exchange(
-        partials, "query_id", exchange.default_num_parts()
-    )
-    return exchange.partitions_to_dataset(
-        parts, lambda t: knn_stages.merge_topk(t, k)
+    return exchange.topk_merge_partials(
+        partials, lambda b: knn_stages.merge_topk(b, k), merge
     )
 
 

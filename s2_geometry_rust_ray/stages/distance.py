@@ -95,11 +95,17 @@ def points_edge_chord2_matrix(px, py, pz, consts) -> np.ndarray:
         + py[:, None] * bn[None, :, 1]
         + pz[:, None] * bn[None, :, 2]
     )
+    # degenerate edges (duplicate or antipodal endpoints: nn == 0) take
+    # the endpoint branch — dividing by sqrt(0) would poison the whole
+    # row with NaN through min(axis=1).  Real layers have none, and for
+    # nn > 0 the arithmetic is bit-identical to before (the SQL-twin
+    # contract), so this guard changes nothing on the oracle path.
+    ok = nn > 0.0
     w = (
         px[:, None] * n[None, :, 0]
         + py[:, None] * n[None, :, 1]
         + pz[:, None] * n[None, :, 2]
-    ) / np.sqrt(nn)[None, :]
+    ) / np.sqrt(np.where(ok, nn, 1.0))[None, :]
     wc = np.maximum(-1.0, np.minimum(1.0, w))
     d2_arc = 2.0 - 2.0 * np.sqrt(np.maximum(0.0, 1.0 - wc * wc))
     da = 2.0 - 2.0 * (
@@ -113,7 +119,7 @@ def points_edge_chord2_matrix(px, py, pz, consts) -> np.ndarray:
         + pz[:, None] * b[None, :, 2]
     )
     d2_end = np.minimum(da, db)
-    return np.where((wa >= 0.0) & (wb >= 0.0), d2_arc, d2_end)
+    return np.where((wa >= 0.0) & (wb >= 0.0) & ok[None, :], d2_arc, d2_end)
 
 
 def points_min_edge_chord2(px, py, pz, consts) -> np.ndarray:

@@ -206,22 +206,26 @@ def rename_column(old: str, new: str):
     return fn
 
 
-def _sorted_unique_bucket_ids(tbl: pa.Table, id_col: str, bucket_col: str):
-    """(bucket, id) rows -> dedup'd arrays sorted by (bucket, id) plus
-    segment starts/lengths per bucket.  Shared prep for both the small-
-    bucket pair emission and the hot-bucket spill."""
+def _sort_unique_bucket_ids(tbl: pa.Table, id_col: str, bucket_col: str):
+    """(bucket, id) rows -> dedup'd arrays sorted by (bucket, id).  The
+    one O(n log n) pass per partition, shared by small-bucket pair
+    emission AND the hot-bucket spill (run ONCE as a prep task)."""
     bucket = np.asarray(tbl[bucket_col].to_numpy(zero_copy_only=False))
     ids = np.asarray(tbl[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
     order = np.lexsort((ids, bucket))
     b_s, i_s = bucket[order], ids[order]
     keep = np.ones(len(b_s), dtype=bool)
     keep[1:] = (b_s[1:] != b_s[:-1]) | (i_s[1:] != i_s[:-1])
-    b_s, i_s = b_s[keep], i_s[keep]
+    return b_s[keep], i_s[keep]
+
+
+def _segments_of_sorted(b_s: np.ndarray):
+    """Segment starts/lengths of an already-sorted bucket array (O(n))."""
     is_new = np.ones(len(b_s), dtype=bool)
     is_new[1:] = b_s[1:] != b_s[:-1]
     starts = np.nonzero(is_new)[0]
     lens = np.diff(np.concatenate([starts, [len(b_s)]]))
-    return b_s, i_s, starts, lens
+    return starts, lens
 
 
 def _segment_triu_pairs(ids_sorted: np.ndarray, starts: np.ndarray,
@@ -282,7 +286,20 @@ def lsh_candidate_pairs(bands_ds, id_col: str, bucket_col: str,
     spreads over ceil(n/cap) tasks of <= cap*n pairs each — the same
     output set, no single-task funnel.  All emission paths are vectorized
     (triu_indices per segment-length class / repeat+gather per chunk)."""
+    import ray
+
     bucket_parts = hash_exchange(bands_ds, bucket_col, num_parts)
+
+    # ONE sort+dedup pass per partition; both emission passes below read
+    # the prepped (sorted, unique) refs and recompute segments in O(n)
+    @ray.remote
+    def prep(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({bucket_col: tbl[bucket_col], id_col: tbl[id_col]})
+        b_s, i_s = _sort_unique_bucket_ids(tbl, id_col, bucket_col)
+        return pa.table({bucket_col: b_s, id_col: i_s})
+
+    prepped = [prep.remote(p) for p in bucket_parts]
 
     empty_pairs = pa.table({a_col: pa.array([], pa.int64()),
                             b_col: pa.array([], pa.int64())})
@@ -290,7 +307,9 @@ def lsh_candidate_pairs(bands_ds, id_col: str, bucket_col: str,
     def small_pairs(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
             return empty_pairs
-        _, i_s, starts, lens = _sorted_unique_bucket_ids(tbl, id_col, bucket_col)
+        b_s = np.asarray(tbl[bucket_col].to_numpy(zero_copy_only=False))
+        i_s = np.asarray(tbl[id_col].to_numpy(zero_copy_only=False))
+        starts, lens = _segments_of_sorted(b_s)
         small = lens <= hot_bucket_cap
         a, b = _segment_triu_pairs(i_s, starts[small], lens[small])
         if len(a) == 0:
@@ -298,7 +317,7 @@ def lsh_candidate_pairs(bands_ds, id_col: str, bucket_col: str,
         t = pa.table({a_col: a, b_col: b})
         return t.group_by([a_col, b_col]).aggregate([])
 
-    cand_small = partitions_to_dataset(bucket_parts, small_pairs)
+    cand_small = partitions_to_dataset(prepped, small_pairs)
 
     # hot-bucket spill: (ckey, bucket_h, lo, idx, id) rows, one row per
     # (chunk, member-above-chunk-start); ckey routes a chunk to one task
@@ -310,7 +329,9 @@ def lsh_candidate_pairs(bands_ds, id_col: str, bucket_col: str,
                           "id": pa.array([], pa.int64())})
         if tbl.num_rows == 0:
             return empty
-        b_s, i_s, starts, lens = _sorted_unique_bucket_ids(tbl, id_col, bucket_col)
+        b_s = np.asarray(tbl[bucket_col].to_numpy(zero_copy_only=False))
+        i_s = np.asarray(tbl[id_col].to_numpy(zero_copy_only=False))
+        starts, lens = _segments_of_sorted(b_s)
         hot = np.nonzero(lens > hot_bucket_cap)[0]
         if len(hot) == 0:
             return empty
@@ -342,7 +363,7 @@ def lsh_candidate_pairs(bands_ds, id_col: str, bucket_col: str,
                          "idx": np.concatenate(ix),
                          "id": np.concatenate(iv)})
 
-    spill = partitions_to_dataset(bucket_parts, spill_rows)
+    spill = partitions_to_dataset(prepped, spill_rows)
     spill_parts = hash_exchange(spill, "ckey", num_parts)
 
     def chunk_pairs(tbl: pa.Table) -> pa.Table:
@@ -396,6 +417,23 @@ def attach_pair_payloads(cand, src_ds, id_col: str, payload_col: str,
     j2 = hash_join(j1, src_ds, b_col, num_parts=num_parts, right_on=id_col)
     return j2.map_batches(rename_column(payload_col, f"{payload_col}_b"),
                           batch_format="pyarrow")
+
+
+def topk_merge_partials(partials, merge_fn, merge: str = "single",
+                        key_col: str = "query_id"):
+    """Shared top-k merge tail for the kNN/ANN pipelines.
+
+    merge='single': one bounded reduce task (every partial is already
+    top-k-truncated, so the input is blocks * Q * k rows).
+    merge='distributed': hash-exchange by `key_col` + per-partition final
+    merge — the large-Q path with no repartition(1); a key's rows all meet
+    in exactly one partition, so the per-partition merge is final."""
+    if merge == "single":
+        return partials.repartition(1).map_batches(
+            merge_fn, batch_format="pyarrow"
+        )
+    parts = hash_exchange(partials, key_col, default_num_parts())
+    return partitions_to_dataset(parts, merge_fn)
 
 
 def hot_key_histogram(ds, key_col: str, top_n: int = 64):

@@ -81,19 +81,12 @@ def merge_topk(batch: pa.Table, k: int) -> pa.Table:
 
 
 def _merge_partials(partials, k: int, merge: str):
-    """merge='single': one bounded reduce task (blocks * Q * k rows).
-    merge='distributed': hash-exchange by query_id + per-partition final
-    merge — the large-Q path with no repartition(1)."""
-    if merge == "single":
-        return partials.repartition(1).map_batches(
-            lambda b: merge_topk(b, k), batch_format="pyarrow"
-        )
+    """Shared top-k merge tail (stages/exchange.topk_merge_partials)."""
     from . import exchange
 
-    parts = exchange.hash_exchange(
-        partials, "query_id", exchange.default_num_parts()
+    return exchange.topk_merge_partials(
+        partials, lambda b: merge_topk(b, k), merge
     )
-    return exchange.partitions_to_dataset(parts, lambda t: merge_topk(t, k))
 
 
 def ann_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,

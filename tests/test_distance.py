@@ -163,3 +163,51 @@ def test_route_buffer_join(ray_session):
             want.add((int(ids[i]), rid))
     assert set(zip(got["doc_id"], got["route_id"])) == want
     assert len(want) > 0
+
+
+def test_degenerate_edge_no_nan():
+    """A duplicate-vertex (or antipodal) edge has zero normal; the kernel
+    must take the endpoint branch instead of poisoning every row with NaN
+    through min(axis=1)."""
+    from s2_geometry_rust_ray.stages.distance import (
+        _edge_consts_from_ab, points_edge_chord2_matrix, points_min_edge_chord2,
+    )
+
+    a = np.array([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    b = np.array([[1.0, 0.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    consts = _edge_consts_from_ab(a, b)
+    p = np.array([[0.0, 1.0, 0.0], [1.0, 0.0, 0.0]])
+    mat = points_edge_chord2_matrix(p[:, 0], p[:, 1], p[:, 2], consts)
+    assert np.isfinite(mat).all()
+    d = points_min_edge_chord2(p[:, 0], p[:, 1], p[:, 2], consts)
+    assert d[0] == 0.0  # p0 IS a vertex of edge 2
+    assert d[1] == 0.0  # p1 IS the degenerate edge 0
+
+
+def test_degenerate_edge_queries_no_nan():
+    """distance_to_boundary through the unified kernel must stay finite
+    with a duplicate consecutive vertex in the geometry."""
+    from s2_geometry_rust_ray.geometry.polyline import Polyline
+    from s2_geometry_rust_ray.geometry.queries import distance_to_boundary
+
+    v = np.array([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    line = Polyline(v)
+    pts = np.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+    d = distance_to_boundary(line, pts)
+    assert np.isfinite(d).all()
+    assert d[1] == 0.0
+
+
+def test_compare_edge_distance_outside_certain():
+    """A point decisively outside the wedge on ONE side (the other wedge
+    dot exactly zero) must use the endpoint distance, not report a tie:
+    x = -a1 is antipodal to endpoint a1 (chord2 = 2) with r2 = 0.01."""
+    from s2_geometry_rust_ray.functions.predicates import compare_edge_distance
+
+    a0 = np.array([1.0, 0.0, 0.0])
+    a1 = np.array([0.0, 1.0, 0.0])
+    assert compare_edge_distance(-a1, a0, a1, 0.01) == 1
+    # and a point clearly within radius of an endpoint still returns -1
+    near = np.array([0.9999, 0.01, 0.0])
+    near = near / np.linalg.norm(near)
+    assert compare_edge_distance(near, a0, a1, 0.01) == -1
