@@ -139,10 +139,22 @@ def near_dup_pairs(ds, num_hashes: int = 32, band_size: int = 4,
     )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        # per-batch shingle-set memo: pairs are co-located by doc_a, and
+        # boilerplate-heavy corpora repeat the same text across many pairs
+        # — shingle each distinct text once, not once per pair
+        memo: dict[str, set] = {}
+
+        def sh(t) -> set:
+            t = str(t)
+            s = memo.get(t)
+            if s is None:
+                s = T.shingles(t, shingle_k, shingle_mode)
+                memo[t] = s
+            return s
+
         ja = np.empty(len(batch), dtype=np.float64)
         for n, (ta, tb) in enumerate(zip(batch["text_a"], batch["text_b"])):
-            sa = T.shingles(str(ta), shingle_k, shingle_mode)
-            sb = T.shingles(str(tb), shingle_k, shingle_mode)
+            sa, sb = sh(ta), sh(tb)
             union = len(sa | sb)
             ja[n] = len(sa & sb) / union if union else 1.0
         out = batch.assign(jaccard=ja)
