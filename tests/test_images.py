@@ -121,3 +121,32 @@ def test_jpeg_stub_raises():
 
     with pytest.raises(NotImplementedError):
         _decode("jpeg", b"\xff\xd8\xff")
+
+
+def test_resize_stage_roundtrip(ray_session, images_dir):
+    """Resize: decode -> nearest-neighbor sample -> re-encode PNG.  The
+    resized payload must decode back to exactly the sampled pixel grid
+    (lossless codec), originals untouched."""
+    import ray.data
+
+    from s2_geometry_rust_ray.stages import multimodal
+
+    ds = ray.data.read_parquet(
+        images_dir, columns=["image_id", "fmt", "bytes"]
+    ).limit(64)
+    out = ds.map_batches(
+        multimodal.Resize,
+        fn_constructor_kwargs={"out_w": 16, "out_h": 12},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    ).to_pandas()
+    assert len(out) == 64
+    assert set(["image_id", "bytes", "bytes_resized"]).issubset(out.columns)
+    row = out.iloc[0]
+    orig = I.decode_png(row["bytes"])
+    small = I.decode_png(row["bytes_resized"])
+    assert small.shape == (12, 16, 3)
+    yi = (np.arange(12) * orig.shape[0] // 12).astype(int)
+    xi = (np.arange(16) * orig.shape[1] // 16).astype(int)
+    assert np.array_equal(small, orig[yi][:, xi])
