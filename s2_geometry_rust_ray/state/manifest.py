@@ -49,7 +49,11 @@ class Manifest:
             and os.path.exists(row.get("output_path", ""))
         )
 
-    def record(self, shard_id: str, fingerprint: str, output_path: str, row_count: int):
+    def record(self, shard_id: str, fingerprint: str, output_path: str,
+               row_count: int, **metrics):
+        """Write the shard's manifest row atomically.  Extra keyword args
+        (wall_s, rows_per_sec, ...) land in the row as per-shard METRICS —
+        the north_rule's "per-partition lineage + metrics" in one record."""
         tmp = self._row_path(shard_id) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -59,6 +63,7 @@ class Manifest:
                     "kernel_version": KERNEL_VERSION,
                     "output_path": output_path,
                     "row_count": row_count,
+                    **metrics,
                 },
                 f,
             )
@@ -71,6 +76,31 @@ class Manifest:
                 with open(os.path.join(self.dir, fn)) as f:
                     out.append(json.load(f))
         return out
+
+    def metrics(self) -> dict:
+        """Job-level rollup of the per-shard metrics: shard count, total
+        rows, total wall seconds, aggregate rows/s.  Audit surface for the
+        driver / operators (`Manifest(out).metrics()` after any run)."""
+        rows = self.rows()
+        total_rows = sum(r.get("row_count", 0) for r in rows)
+        total_wall = sum(r.get("wall_s", 0.0) for r in rows)
+        return {
+            "shards": len(rows),
+            "rows": total_rows,
+            "wall_s": round(total_wall, 3),
+            "rows_per_sec": round(total_rows / total_wall) if total_wall else None,
+        }
+
+    def to_table(self):
+        """Manifest as an Arrow table (one row per shard) — readable as a
+        Dataset for distributed audit of a huge manifest."""
+        import pyarrow as pa
+
+        rows = self.rows()
+        if not rows:
+            return pa.table({"shard_id": pa.array([], pa.string())})
+        keys = sorted({k for r in rows for k in r})
+        return pa.table({k: [r.get(k) for r in rows] for k in keys})
 
 
 def resumable_shard_write(
@@ -105,9 +135,12 @@ def resumable_shard_write(
             import shutil
 
             shutil.rmtree(tmp_path)
+        import time
+
+        t0 = time.perf_counter()
         ds = pipeline_fn(ray.data.read_parquet(path))
         ds.write_parquet(tmp_path)
-        n = sum(1 for _ in ())  # row count from written files (cheap stat)
+        wall = time.perf_counter() - t0
         import pyarrow.parquet as pq
 
         n = sum(pq.read_metadata(os.path.join(tmp_path, f)).num_rows
@@ -117,6 +150,10 @@ def resumable_shard_write(
 
             shutil.rmtree(out_path)
         os.replace(tmp_path, out_path)
-        man.record(shard_id, fp, out_path, n)
+        man.record(
+            shard_id, fp, out_path, n,
+            wall_s=round(wall, 4),
+            rows_per_sec=round(n / wall) if wall > 0 else None,
+        )
         done += 1
     return man

@@ -150,3 +150,27 @@ def test_resize_stage_roundtrip(ray_session, images_dir):
     yi = (np.arange(12) * orig.shape[0] // 12).astype(int)
     xi = (np.arange(16) * orig.shape[1] // 16).astype(int)
     assert np.array_equal(small, orig[yi][:, xi])
+
+
+def test_manifest_metrics_rollup(ray_session, images_dir):
+    """Per-shard metrics (wall_s, rows_per_sec) land in the manifest rows;
+    Manifest.metrics() rolls them up and to_table() exports the audit
+    surface."""
+    import shutil
+
+    from s2_geometry_rust_ray.pipelines import flagship
+    from s2_geometry_rust_ray.state.manifest import Manifest
+
+    out = f"{TMP}/out_metrics"
+    shutil.rmtree(out, ignore_errors=True)
+    flagship.indexed_passthrough(images_dir, out)
+    man = Manifest(out)
+    rows = man.rows()
+    assert rows and all("wall_s" in r and "rows_per_sec" in r for r in rows)
+    m = man.metrics()
+    assert m["shards"] == len(rows)
+    assert m["rows"] == sum(r["row_count"] for r in rows)
+    assert m["rows_per_sec"] and m["rows_per_sec"] > 0
+    t = man.to_table()
+    assert t.num_rows == len(rows)
+    assert "wall_s" in t.column_names
