@@ -139,6 +139,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, "doc_id", ppip.standard_polygon_layer(), level=7
         )
 
+    def q_pip_shape_index(sf_dir: str):
+        # THIRD independent PIP implementation (MutableShapeIndex point
+        # location) against the SAME oracle as s2_pip_join_docs
+        ds = _read(sf_dir, "documents", columns=["doc_id"])
+        return ppip.shape_index_pip_join(ds, "doc_id")
+
     from s2_geometry_rust_ray.pipelines import textops
 
     def q_token_stats(sf_dir: str):
@@ -287,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s2_knn_docs": q_knn,
         "s2_knn_cell_docs": q_knn_cell,
         "s2_pip_join_shuffle_docs": q_pip_shuffle,
+        "s2_pip_join_shape_index_docs": q_pip_shape_index,
         "doc_token_stats": q_token_stats,
         "doc_exact_dedup": q_exact_dedup,
         "events_window_1h": q_window,
@@ -352,6 +359,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_tile_counts_l8_salted": osql.q_tile_counts(LINEITEM_SRC, "k", 8),
         "s2_snap_dedup_l10": osql.q_snap_dedup(DOCS_SRC, "doc_id", 10),
         "s2_pip_join_docs": pip_sql.q_pip_join(DOCS_SRC, "doc_id", layer, "doc_id"),
+        "s2_pip_join_shape_index_docs": pip_sql.q_pip_join(DOCS_SRC, "doc_id", layer, "doc_id"),
         "s2_pip_join_lineitem": pip_sql.q_pip_join(
             f"SELECT DISTINCT {LINEITEM_KEY_SQL} AS k FROM lineitem", "k", layer, "k"
         ),

@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pyarrow as pa
+
 from ..geometry import fixtures
 from ..geometry.cap import Cap
 from ..geometry.rect import LatLngRect
@@ -18,6 +21,78 @@ def standard_polygon_layer():
     for k in ["north_hemi", "south_hemi", "east_hemi", "west_hemi"]:
         layer.pop(k)
     return layer
+
+
+def shape_index_pip_join(ds, key_col: str, layer=None, concurrency=(1, 4),
+                         batch_size: int = 8192):
+    """PIP join computed through the MutableShapeIndex point-location path
+    (geometry/shape_index.py) — a THIRD independent implementation of the
+    same join (broadcast PIPJoin actors and the covering-explode shuffle
+    being the other two), sharing the same SQL oracle.  Exists as the
+    parity/API surface for the shape layer; the vectorized broadcast
+    PIPJoin is the hot-path choice at scale (this one walks the robust
+    crossing predicates point-by-point against the located index cell's
+    posted edges).  Output (key_col, polygon_id), identical to pip_join."""
+    from ..functions.coords import latlng_deg_to_xyz as _to_xyz
+    from ..geometry import shape_index as si
+    from ..geometry.loop import Polygon as _Polygon
+    from ..stages.encode import derive_geotags
+
+    if layer is None:
+        layer = standard_polygon_layer()
+
+    class ShapeIndexPIP:
+        def __init__(self, layer):
+            import ray
+
+            if isinstance(layer, ray.ObjectRef):
+                layer = ray.get(layer)
+            # index built ONCE per actor (coverings + postings + seeds)
+            self.index = si.MutableShapeIndex(
+                max_cells_per_shape=32, max_level=12
+            )
+            self.pids: list = []
+            for pid, loops in sorted(layer.items()):
+                poly = (
+                    loops
+                    if isinstance(loops, _Polygon)
+                    else _Polygon.from_loops_latlng_deg(loops)
+                )
+                self.index.add_shape(si.PolygonShape(poly))
+                self.pids.append(pid)
+            self.index.build()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lat = batch["lat"].to_numpy(zero_copy_only=False)
+            lng = batch["lng"].to_numpy(zero_copy_only=False)
+            x, y, z = _to_xyz(lat, lng)
+            pts = np.stack([x, y, z], axis=-1)
+            keys = batch[key_col].to_numpy(zero_copy_only=False)
+            out_k, out_p = [], []
+            for i in range(len(keys)):
+                for sid in sorted(self.index.contains_point(pts[i])):
+                    out_k.append(keys[i])
+                    out_p.append(self.pids[sid])
+            return pa.table(
+                {
+                    key_col: pa.array(out_k, type=batch[key_col].type),
+                    "polygon_id": pa.array(out_p, type=pa.string()),
+                }
+            )
+
+    import ray
+
+    tagged = ds.map_batches(
+        lambda b: derive_geotags(b, key_col), batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    return tagged.map_batches(
+        ShapeIndexPIP,
+        fn_constructor_kwargs={"layer": ray.put(layer) if ray.is_initialized() else layer},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 def standard_caps() -> dict[str, Cap]:
