@@ -123,8 +123,14 @@ def _raw_encode(pts: np.ndarray, res: int, return_margin: bool = False):
     )
     face = dots.argmax(axis=1)
     if return_margin:
-        top2 = np.partition(dots, dots.shape[1] - 2, axis=1)[:, -2:]
-        margin = top2[:, 1] - top2[:, 0]
+        # best-minus-second margin via argmax reuse + masked second max:
+        # same exact float difference as a top-2 partition, but ~10x
+        # cheaper (np.partition over (n, 20) rows was 2.5x the cost of the
+        # whole encode).  `dots` is a local temp — in-place poke is safe.
+        rows = np.arange(dots.shape[0])
+        max1 = dots[rows, face]
+        dots[rows, face] = -np.inf
+        margin = max1 - dots.max(axis=1)
     n = FACE_CENTERS[face]
     u = FACE_U[face]
     v = FACE_V[face]
