@@ -417,9 +417,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash": osql.q_simhash(),
         "doc_simhash_near_dup": osql.q_simhash_near_dup(),
         "doc_fingerprints": osql.q_fingerprints(),
+        "doc_quality": osql.q_quality(),
         "h3_tile_counts_r5": h3_sql.q_h3_tile_counts(LINEITEM_SRC, "k", 5),
-        # doc_quality / ann_cosine_topk / emb_near_dup_pairs:
-        # deliberately no SQL oracle (heuristic / float-reduction ops are
-        # not SQL-reproducible bit-exactly) -> driver rows-only check;
-        # the pytest suite holds their brute-force oracles.
+        # ann_cosine_topk / emb_near_dup_pairs: deliberately no SQL oracle
+        # (float dot-product reductions have no bit-exact SQL twin) ->
+        # driver rows-only check; the pytest suite holds their
+        # brute-force recall/precision oracles.
     }

@@ -54,18 +54,30 @@ def char_count(texts: pd.Series) -> np.ndarray:
 
 
 # one alternation regex == "token in STOPWORDS": a stopword counts iff not
-# adjacent to another token char (exactly the [A-Za-z0-9]+ tokenization)
+# adjacent to another token char (exactly the [A-Za-z0-9]+ tokenization) —
+# which is also how the SQL twin counts it (RE2 has no lookbehind, so the
+# oracle filters regexp_extract_all tokens by stopword membership; the two
+# formulations are equivalent because both boundary rules consider only
+# [a-z0-9])
 _STOPWORD_RE = re.compile(
-    r"(?<![a-z0-9])(?:" + "|".join(sorted(STOPWORDS)) + r")(?![a-z0-9])"
+    r"(?<![a-z0-9])(?:" + "|".join(sorted(STOPWORDS)) + r")(?![a-z0-9])",
+    re.ASCII,
 )
+
+# ASCII \w/\s spelled out so Python and RE2 agree on every input
+# (Python's un-flagged \w is Unicode-aware; RE2's \s lacks \v)
+_PUNCT_RE = re.compile(r"[^A-Za-z0-9_ \t\n\r\f\v]", re.ASCII)
+PUNCT_SQL = "[^A-Za-z0-9_ \\t\\n\\r\\f\\x0b]"
 
 
 def quality_score(texts: pd.Series) -> np.ndarray:
     """Heuristic quality in [0,1]: penalize very short docs, high punct
-    ratio, low stopword ratio (rows-only check; not SQL-mirrored)."""
+    ratio, low stopword ratio.  Pure IEEE +-*/ over integer counts =>
+    bit-exact SQL twin (oracle/sql.q_quality: same expressions with
+    round_even, which matches np.round's half-to-even — verified)."""
     n = texts.str.len().to_numpy(dtype=np.float64)
     n = np.maximum(n, 1.0)
-    punct = texts.str.count(r"[^\w\s]").to_numpy(dtype=np.float64)
+    punct = texts.str.count(_PUNCT_RE).to_numpy(dtype=np.float64)
     stop = texts.str.lower().str.count(_STOPWORD_RE).to_numpy(dtype=np.float64)
     nw = np.maximum(texts.str.count(TOKEN_RE).to_numpy(dtype=np.float64), 1.0)
     len_score = np.clip(n / 200.0, 0.0, 1.0)

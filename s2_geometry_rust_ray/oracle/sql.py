@@ -264,6 +264,74 @@ def q_near_dup_pairs(num_hashes: int = 32, band_size: int = 4,
   WHERE jaccard >= {flit(threshold)}"""
 
 
+def q_quality() -> str:
+    """SQL twin of pipelines/textops.quality over `documents`.
+
+    quality: pure IEEE +-*/ over integer counts (length, ASCII punct
+    matches, stopword-token membership — equivalent to the engine's
+    lookbehind alternation because both boundary rules consider only
+    [a-z0-9], and RE2 has no lookbehind), rounded with round_even(x, 6)
+    which matches np.round's half-to-even bit-for-bit (verified on 50k
+    samples incl. ties).  lang_guess: marker-substring counts via
+    replace-difference (same non-overlapping greedy semantics as Python
+    str.count), argmax in the engine's dict order with >=-ties-first."""
+    from ..functions.text import _LANG_MARKERS, PUNCT_SQL, STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+
+    def marker_count(m: str) -> str:
+        esc = m.replace("'", "''")
+        return (f"((length(pad) - length(replace(pad, '{esc}', '')))"
+                f" // {len(m)})")
+
+    lang_scores = {
+        lang: " + ".join(marker_count(m) for m in markers)
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    order = list(_LANG_MARKERS)  # engine argmax order: first max wins
+    cases = []
+    for i, lang in enumerate(order[:-1]):
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in order[i + 1:]
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    lang_case = ("CASE " + " ".join(cases) + f" ELSE '{order[-1]}' END")
+    any_hit = " + ".join(f"s_{lang}" for lang in order)
+    one, zero = flit(1.0), flit(0.0)
+    return f"""WITH pad_t AS (
+    SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad FROM documents
+  ),
+  scores AS (
+    SELECT doc_id, text,
+           {", ".join(f"({expr}) AS s_{lang}" for lang, expr in lang_scores.items())}
+    FROM pad_t
+  ),
+  tok AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+    FROM documents
+  ),
+  stopc AS (
+    SELECT doc_id, count(*) AS c FROM tok
+    WHERE t IN ({stop_list}) GROUP BY doc_id
+  ),
+  base AS (
+    SELECT s.doc_id,
+           CASE WHEN {any_hit} > 0 THEN {lang_case} ELSE 'und' END AS lang_guess,
+           greatest(CAST(length(s.text) AS DOUBLE), {one}) AS n,
+           CAST(len(regexp_extract_all(s.text, '{PUNCT_SQL}')) AS DOUBLE) AS punct,
+           CAST(COALESCE(sc.c, 0) AS DOUBLE) AS stop,
+           greatest(CAST(len(regexp_extract_all(s.text, '[A-Za-z0-9]+')) AS DOUBLE),
+                    {one}) AS nw
+    FROM scores s LEFT JOIN stopc sc USING (doc_id)
+  )
+  SELECT doc_id, lang_guess,
+         round_even((least(greatest(n / {flit(200.0)}, {zero}), {one})
+                     + ({one} - least(greatest(punct / n * {flit(4.0)}, {zero}), {one}))
+                     + least(greatest(stop / nw * {flit(4.0)}, {zero}), {one}))
+                    / {flit(3.0)}, 6) AS quality
+  FROM base"""
+
+
 def q_fingerprints(window: int = 8) -> str:
     """SQL twin of functions/text.fingerprint over `documents`: per doc,
     min over all `window`-char windows of the rolling hash

@@ -303,3 +303,38 @@ def test_distributed_topk_merge_matches_single(ray_session):
     ka = ka.sort_values(cols).reset_index(drop=True)
     kb = kb.sort_values(cols).reset_index(drop=True)
     assert ka[cols].equals(kb[cols])
+
+
+def test_quality_sql_twin_adversarial():
+    """doc_quality's SQL twin must match bit-exactly on adversarial inputs:
+    stopwords at token boundaries, punctuation runs, marker overlaps,
+    short/empty docs, clip saturation at both ends."""
+    import duckdb
+    import pandas as pd
+
+    from s2_geometry_rust_ray.pipelines import textops
+    from s2_geometry_rust_ray.oracle import sql as osql
+    import ray.data
+
+    texts = [
+        "",  # empty: n clamps to 1
+        "the",  # pure stopword, stop_score saturates
+        "a9the the9 _the_ the!",  # boundary cases: only _the_ and the! count
+        "x" * 500 + " the and of to " * 10,  # len_score saturated, markers
+        "!!! ??? ;;; :::",  # pure punctuation, punct_score floor
+        "der und die ist der und",  # German markers
+        "le la et les le",  # French markers
+        "el que los de la",  # Spanish markers
+        "the der le el",  # cross-language tie -> engine dict order wins
+        "short doc",
+        "don't it's we're they've",  # apostrophes: punct + token split
+    ]
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = textops.quality(ray.data.from_pandas(docs)).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(osql.q_quality()).df()
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("doc_id").reset_index(drop=True)
+    assert list(g["lang_guess"]) == list(w["lang_guess"])
+    assert np.array_equal(g["quality"].values, w["quality"].values)
