@@ -228,6 +228,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         queries = rng.normal(size=(10, 64)).astype("float32")
         return simsearch.ann_topk(ds, queries, np.arange(10), k=10)
 
+    def q_ann_q15(sf_dir: str):
+        # quantized fixed-point ANN (Q15 integer dots are order-free =>
+        # hash-exact SQL twin, unlike float cosine): queries are the
+        # first 25 table vectors, pulled driver-side (bounded)
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from s2_geometry_rust_ray.stages import simsearch
+
+        N_Q = 25
+        t = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        mask = np.asarray(t["vec_id"].to_numpy() < N_Q)
+        qids = t["vec_id"].to_numpy()[mask]
+        qvecs = np.array(
+            [t["embedding"][i].as_py() for i in np.nonzero(mask)[0]],
+            dtype=np.float32,
+        )
+        order = np.argsort(qids)
+        ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        return simsearch.ann_topk_q15(ds, qvecs[order], qids[order], k=10)
+
     def q_within(sf_dir: str):
         ds = _read(sf_dir, "documents", columns=["doc_id"])
         return ppip.within_distance_join(ds, "doc_id", radius_deg=1.5)
@@ -306,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_near_dup": q_simhash_near_dup,
         "doc_fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann,
+        "ann_topk_q15": q_ann_q15,
         "emb_near_dup_pairs": q_emb_near_dup,
         "h3_tile_counts_r5": lambda sf_dir: tiling.h3_tile_counts(
             _lineitem_keys(sf_dir), "k", res=5
@@ -418,6 +442,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash_near_dup": osql.q_simhash_near_dup(),
         "doc_fingerprints": osql.q_fingerprints(),
         "doc_quality": osql.q_quality(),
+        "ann_topk_q15": osql.q_ann_q15(n_queries=25, k=10),
         "h3_tile_counts_r5": h3_sql.q_h3_tile_counts(LINEITEM_SRC, "k", 5),
         # ann_cosine_topk / emb_near_dup_pairs: deliberately no SQL oracle
         # (float dot-product reductions have no bit-exact SQL twin) ->

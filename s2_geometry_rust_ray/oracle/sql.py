@@ -264,6 +264,35 @@ def q_near_dup_pairs(num_hashes: int = 32, band_size: int = 4,
   WHERE jaccard >= {flit(threshold)}"""
 
 
+def q_ann_q15(n_queries: int = 25, k: int = 10) -> str:
+    """SQL twin of stages/simsearch.ann_topk_q15 over `embeddings`:
+    Q15-quantize every vector (round_even == np.rint, exact float64
+    scaling), integer dot products (ORDER-FREE sums — the property float
+    cosine lacks), top-k per query with (dot desc, vec_id asc) ties.
+    Queries = the vectors with vec_id < n_queries."""
+    return f"""WITH qv AS (
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(least(greatest(round_even(CAST(x AS DOUBLE) * 32767.0, 0),
+                                      -32768.0), 32767.0) AS BIGINT)) AS q
+    FROM embeddings
+  ),
+  pairs AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+           CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                                        p -> p[1] * p[2])) AS BIGINT) AS dot_q15
+    FROM qv a, qv b WHERE a.vec_id < {n_queries}
+  ),
+  ranked AS (
+    SELECT query_id, vec_id, dot_q15,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dot_q15 DESC, vec_id) AS rank
+    FROM pairs
+  )
+  SELECT query_id, vec_id, dot_q15, CAST(rank AS BIGINT) AS rank
+  FROM ranked WHERE rank <= {k}"""
+
+
 def q_quality() -> str:
     """SQL twin of pipelines/textops.quality over `documents`.
 

@@ -102,6 +102,89 @@ def ann_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     return _merge_partials(partials, k, merge)
 
 
+def quantize_q15(vecs: np.ndarray) -> np.ndarray:
+    """Fixed-point Q15 quantization: rint(clip(v * 32767)) as int64.
+    float32 -> float64 is exact and v*32767.0 is exact (24+15 bit mantissa
+    fits float64), np.rint is half-to-even == DuckDB round_even — so the
+    SQL twin reproduces the quantized values bit-for-bit, and the integer
+    dot products that follow are ORDER-FREE exact sums (the trick that
+    makes an ANN variant oracle-checkable; float dots are not)."""
+    q = np.rint(np.asarray(vecs, dtype=np.float64) * 32767.0)
+    return np.clip(q, -32768.0, 32767.0).astype(np.int64)
+
+
+class Q15TopK:
+    """Actor stage: integer fixed-point cosine top-k — the quantized-ANN
+    variant (what int8/int16 FAISS indexes do at scale), with an exact
+    integer SQL twin (oracle/sql.q_ann_q15).  Queries broadcast once per
+    actor; per batch one int64 matmul + per-query partial top-k."""
+
+    def __init__(self, queries: np.ndarray, query_ids: np.ndarray, k: int,
+                 id_col: str = "vec_id"):
+        import ray
+
+        if isinstance(queries, ray.ObjectRef):
+            queries = ray.get(queries)
+        self.q = quantize_q15(np.asarray(queries))
+        self.qid = np.asarray(query_ids, dtype=np.int64)
+        self.k = int(k)
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = quantize_q15(batch_embeddings(batch))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        dots = mat @ self.q.T  # (n, Q) int64
+        out_q, out_v, out_d = [], [], []
+        k = min(self.k, dots.shape[0])
+        for qi in range(dots.shape[1]):
+            d = dots[:, qi]
+            part = np.argpartition(-d, k - 1)[:k] if len(d) > k else np.arange(len(d))
+            order = part[np.lexsort((ids[part], -d[part]))]
+            out_q.append(np.full(len(order), self.qid[qi], dtype=np.int64))
+            out_v.append(ids[order])
+            out_d.append(d[order])
+        return pa.table(
+            {"query_id": np.concatenate(out_q), "vec_id": np.concatenate(out_v),
+             "dot_q15": np.concatenate(out_d)}
+        )
+
+
+def merge_topk_int(batch: pa.Table, k: int) -> pa.Table:
+    """Final merge for integer-dot partials: rank by (dot desc, vec_id)."""
+    qid = batch["query_id"].to_numpy(zero_copy_only=False)
+    vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+    d = batch["dot_q15"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((vid, -d, qid))
+    qid, vid, d = qid[order], vid[order], d[order]
+    uq, starts = np.unique(qid, return_index=True)
+    rank = np.arange(len(qid)) - np.repeat(
+        starts, np.diff(np.append(starts, len(qid)))
+    )
+    keep = rank < k
+    return pa.table(
+        {"query_id": qid[keep], "vec_id": vid[keep],
+         "dot_q15": d[keep], "rank": (rank[keep] + 1).astype(np.int64)}
+    )
+
+
+def ann_topk_q15(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+                 concurrency=(1, 8), merge: str = "single"):
+    """Quantized fixed-point ANN top-k — hash-exact oracle-checkable
+    (integer dots are order-free; ties broken by vec_id ascending)."""
+    partials = ds.map_batches(
+        Q15TopK,
+        fn_constructor_kwargs={"queries": queries, "query_ids": query_ids, "k": k},
+        batch_format="pyarrow",
+        batch_size=65536,
+        concurrency=concurrency,
+    )
+    from . import exchange
+
+    return exchange.topk_merge_partials(
+        partials, lambda b: merge_topk_int(b, k), merge
+    )
+
+
 def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 8,
                     seed: int = 42) -> np.ndarray:
     """Deterministic mini k-means for IVF bucketing (runs on a driver-side

@@ -46,6 +46,10 @@ def _compare(df_ray, df_sql, sort_cols):
         "events_asof_purchase_view",
         "s2_knn_cell_docs",
         "s2_pip_join_shuffle_docs",
+        "s2_pip_join_shape_index_docs",
+        "doc_quality",
+        "doc_fingerprints",
+        "ann_topk_q15",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
