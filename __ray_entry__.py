@@ -228,6 +228,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         queries = rng.normal(size=(10, 64)).astype("float32")
         return simsearch.ann_topk(ds, queries, np.arange(10), k=10)
 
+    def q_emb_near_dup_q15(sf_dir: str):
+        # exact-arithmetic variant of q_emb_near_dup: same union-with-
+        # offset-copy corpus, integer Q15 buckets + dots -> hash-exact twin
+        import pyarrow.compute as pc
+
+        from s2_geometry_rust_ray.stages import simsearch
+
+        ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+        def offset_ids(batch):
+            return batch.set_column(
+                batch.schema.get_field_index("vec_id"), "vec_id",
+                pc.add(batch["vec_id"], 10_000_000),
+            )
+
+        dup = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+            offset_ids, batch_format="pyarrow"
+        )
+        return simsearch.embedding_near_dup_q15(
+            ds.union(dup), threshold_q15=1_000_000_000
+        )
+
     def q_ann_q15(sf_dir: str):
         # quantized fixed-point ANN (Q15 integer dots are order-free =>
         # hash-exact SQL twin, unlike float cosine): queries are the
@@ -330,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann,
         "ann_topk_q15": q_ann_q15,
+        "emb_near_dup_q15": q_emb_near_dup_q15,
         "emb_near_dup_pairs": q_emb_near_dup,
         "h3_tile_counts_r5": lambda sf_dir: tiling.h3_tile_counts(
             _lineitem_keys(sf_dir), "k", res=5
@@ -443,6 +466,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": osql.q_fingerprints(),
         "doc_quality": osql.q_quality(),
         "ann_topk_q15": osql.q_ann_q15(n_queries=25, k=10),
+        "emb_near_dup_q15": osql.q_emb_near_dup_q15(threshold_q15=1_000_000_000),
         "h3_tile_counts_r5": h3_sql.q_h3_tile_counts(LINEITEM_SRC, "k", 5),
         # ann_cosine_topk / emb_near_dup_pairs: deliberately no SQL oracle
         # (float dot-product reductions have no bit-exact SQL twin) ->

@@ -293,6 +293,64 @@ def q_ann_q15(n_queries: int = 25, k: int = 10) -> str:
   FROM ranked WHERE rank <= {k}"""
 
 
+def q_emb_near_dup_q15(threshold_q15: int, num_planes: int = 16,
+                       dim: int = 64, seed: int = 7,
+                       id_offset: int = 10_000_000) -> str:
+    """SQL twin of stages/simsearch.embedding_near_dup_q15 over the
+    `embeddings` table unioned with an id-offset copy (the driver query's
+    shape): Q15 quantization, integer hyperplane sign buckets (the plane
+    constants are THE SAME int64 literals the engine uses), candidate
+    pairs sharing a bucket, integer-dot verify >= threshold.  Every step
+    is exact integer arithmetic."""
+    from ..stages.simsearch import q15_planes
+
+    planes = q15_planes(num_planes, dim, seed)
+    plane_rows = ", ".join(
+        f"({i}, [{', '.join(str(int(v)) for v in planes[i])}])"
+        for i in range(num_planes)
+    )
+    return f"""WITH src AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + {id_offset} AS vec_id, embedding FROM embeddings
+  ),
+  qv AS (
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(least(greatest(round_even(CAST(x AS DOUBLE) * 32767.0, 0),
+                                      -32768.0), 32767.0) AS BIGINT)) AS q
+    FROM src
+  ),
+  pl(i, p) AS (VALUES {plane_rows}),
+  signs AS (
+    SELECT qv.vec_id, pl.i,
+           CASE WHEN CAST(list_sum(list_transform(list_zip(qv.q, pl.p),
+                                                  x -> x[1] * x[2]))
+                     AS BIGINT) > 0 THEN 1 ELSE 0 END AS b
+    FROM qv CROSS JOIN pl
+  ),
+  bits(i, c) AS (VALUES {", ".join(f"({i},{1 << i})" for i in range(num_planes))}),
+  buckets AS (
+    SELECT s.vec_id, CAST(SUM(s.b * bits.c) AS BIGINT) AS bucket
+    FROM signs s JOIN bits ON bits.i = s.i
+    GROUP BY 1
+  ),
+  cand AS (
+    SELECT DISTINCT x.vec_id AS vec_id_a, y.vec_id AS vec_id_b
+    FROM buckets x JOIN buckets y USING (bucket)
+    WHERE x.vec_id < y.vec_id
+  )
+  SELECT c.vec_id_a, c.vec_id_b,
+         CAST(list_sum(list_transform(list_zip(qa.q, qb.q),
+                                      x -> x[1] * x[2])) AS BIGINT) AS dot_q15
+  FROM cand c
+  JOIN qv qa ON qa.vec_id = c.vec_id_a
+  JOIN qv qb ON qb.vec_id = c.vec_id_b
+  WHERE CAST(list_sum(list_transform(list_zip(qa.q, qb.q),
+                                     x -> x[1] * x[2])) AS BIGINT)
+        >= {threshold_q15}"""
+
+
 def q_quality() -> str:
     """SQL twin of pipelines/textops.quality over `documents`.
 

@@ -349,3 +349,81 @@ def embedding_near_dup(ds, threshold: float = 0.9, num_planes: int = 16,
         )
 
     return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def q15_planes(num_planes: int = 16, dim: int = 64, seed: int = 7) -> np.ndarray:
+    """Deterministic INTEGER hyperplanes for the exact LSH variant:
+    rint(normal * 1000) as int64 — the same constants are embedded as
+    literals in the SQL twin, and every (q15 vector . plane) product stays
+    far below 2^63 (32767 * ~4000 * 64)."""
+    rng = np.random.default_rng(seed)
+    return np.rint(rng.normal(size=(num_planes, dim)) * 1000.0).astype(np.int64)
+
+
+def embedding_near_dup_q15(ds, threshold_q15: int, num_planes: int = 16,
+                           num_parts: int | None = None, dim: int = 64,
+                           seed: int = 7, hot_bucket_cap: int = 1024):
+    """Exact-arithmetic embedding near-dup: (vec_id_a, vec_id_b, dot_q15).
+
+    Same distributed shape as embedding_near_dup, but EVERY arithmetic
+    step is integer: Q15-quantized vectors, integer hyperplane sign
+    buckets (strict > 0), and an integer-dot verify >= threshold_q15 —
+    so the whole pipeline has a hash-exact DuckDB twin
+    (oracle/sql.q_emb_near_dup_q15), unlike the float-cosine variant."""
+    from . import exchange
+
+    if num_parts is None:
+        num_parts = exchange.default_num_parts()
+    planes = q15_planes(num_planes, dim, seed)
+
+    def bucket_stage(batch: pa.Table) -> pa.Table:
+        q = quantize_q15(batch_embeddings(batch))
+        signs = (q @ planes.T) > 0  # (n, planes) exact integer signs
+        keys = np.zeros(len(q), dtype=np.uint64)
+        for i in range(num_planes):
+            keys |= signs[:, i].astype(np.uint64) << np.uint64(i)
+        return pa.table(
+            {"vec_id": batch["vec_id"], "bucket": keys.view(np.int64)}
+        )
+
+    buckets = ds.map_batches(bucket_stage, batch_format="pyarrow")
+    cand = exchange.lsh_candidate_pairs(
+        buckets, "vec_id", "bucket", num_parts, "vec_id_a", "vec_id_b",
+        hot_bucket_cap=hot_bucket_cap,
+    )
+
+    def pack(batch: pa.Table) -> pa.Table:
+        q = quantize_q15(batch_embeddings(batch)).astype(np.int16)
+        return pa.table(
+            {"vec_id": batch["vec_id"],
+             "q15bin": pa.array([v.tobytes() for v in q], type=pa.binary())}
+        )
+
+    packed = ds.map_batches(pack, batch_format="pyarrow")
+    j2 = exchange.attach_pair_payloads(
+        cand, packed, "vec_id", "q15bin", "vec_id_a", "vec_id_b", num_parts
+    )
+
+    def _unpack(col) -> np.ndarray:
+        return np.stack(
+            [np.frombuffer(b, dtype=np.int16) for b in col.to_pylist()]
+        ).astype(np.int64)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"vec_id_a": pa.array([], pa.int64()),
+                 "vec_id_b": pa.array([], pa.int64()),
+                 "dot_q15": pa.array([], pa.int64())}
+            )
+        qa = _unpack(batch["q15bin_a"])
+        qb = _unpack(batch["q15bin_b"])
+        dot = (qa * qb).sum(axis=1)
+        keep = dot >= threshold_q15
+        return pa.table(
+            {"vec_id_a": batch["vec_id_a"].to_numpy(zero_copy_only=False)[keep],
+             "vec_id_b": batch["vec_id_b"].to_numpy(zero_copy_only=False)[keep],
+             "dot_q15": dot[keep]}
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow")

@@ -50,6 +50,7 @@ def _compare(df_ray, df_sql, sort_cols):
         "doc_quality",
         "doc_fingerprints",
         "ann_topk_q15",
+        "emb_near_dup_q15",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
