@@ -364,6 +364,17 @@ def lsh_candidate_pairs(bands_ds, id_col: str, bucket_col: str,
                          "id": np.concatenate(iv)})
 
     spill = partitions_to_dataset(prepped, spill_rows)
+    if spill.count() == 0:
+        # no hot buckets anywhere: skip the chunk re-exchange entirely
+        # (the common case pays nothing for the skew insurance)
+        pair_parts_small = hash_exchange(cand_small, a_col, num_parts)
+
+        def dedup_small(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0:
+                return tbl
+            return tbl.group_by([a_col, b_col]).aggregate([])
+
+        return partitions_to_dataset(pair_parts_small, dedup_small)
     spill_parts = hash_exchange(spill, "ckey", num_parts)
 
     def chunk_pairs(tbl: pa.Table) -> pa.Table:
