@@ -260,15 +260,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from s2_geometry_rust_ray.stages import simsearch
 
         N_Q = 25
+        # predicate pushdown: only the N_Q query rows reach the driver
         t = pq.read_table(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", N_Q)],
         )
-        mask = np.asarray(t["vec_id"].to_numpy() < N_Q)
-        qids = t["vec_id"].to_numpy()[mask]
-        qvecs = np.array(
-            [t["embedding"][i].as_py() for i in np.nonzero(mask)[0]],
-            dtype=np.float32,
-        )
+        qids = t["vec_id"].to_numpy()
+        qvecs = np.array(t["embedding"].to_pylist(), dtype=np.float32)
         order = np.argsort(qids)
         ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         return simsearch.ann_topk_q15(ds, qvecs[order], qids[order], k=10)

@@ -364,18 +364,12 @@ def lsh_candidate_pairs(bands_ds, id_col: str, bucket_col: str,
                          "id": np.concatenate(iv)})
 
     spill = partitions_to_dataset(prepped, spill_rows)
-    if spill.count() == 0:
-        # no hot buckets anywhere: skip the chunk re-exchange entirely
-        # (the common case pays nothing for the skew insurance)
-        pair_parts_small = hash_exchange(cand_small, a_col, num_parts)
-
-        def dedup_small(tbl: pa.Table) -> pa.Table:
-            if tbl.num_rows == 0:
-                return tbl
-            return tbl.group_by([a_col, b_col]).aggregate([])
-
-        return partitions_to_dataset(pair_parts_small, dedup_small)
-    spill_parts = hash_exchange(spill, "ckey", num_parts)
+    # no hot bucket anywhere (the common case): skip the chunk re-exchange
+    # entirely — the skew insurance costs nothing when unused.  count() is
+    # cheap here: partitions_to_dataset already materialized the refs.
+    has_spill = spill.count() > 0
+    if has_spill:
+        spill_parts = hash_exchange(spill, "ckey", num_parts)
 
     def chunk_pairs(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
@@ -405,8 +399,11 @@ def lsh_candidate_pairs(bands_ds, id_col: str, bucket_col: str,
                       b_col: np.concatenate(out_b)})
         return t.group_by([a_col, b_col]).aggregate([])
 
-    cand_big = partitions_to_dataset(spill_parts, chunk_pairs)
-    cand = cand_small.union(cand_big)
+    if has_spill:
+        cand_big = partitions_to_dataset(spill_parts, chunk_pairs)
+        cand = cand_small.union(cand_big)
+    else:
+        cand = cand_small
     pair_parts = hash_exchange(cand, a_col, num_parts)
 
     def dedup_part(tbl: pa.Table) -> pa.Table:

@@ -54,8 +54,7 @@ class BruteCosineTopK:
         k = min(self.k, sims.shape[0])
         for qi in range(sims.shape[1]):
             s = sims[:, qi]
-            part = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
-            order = part[np.lexsort((ids[part], -s[part]))]
+            order = _topk_with_ties(s, ids, k)
             out_q.append(np.full(len(order), self.qid[qi], dtype=np.int64))
             out_v.append(ids[order])
             out_s.append(s[order].astype(np.float64))
@@ -65,10 +64,13 @@ class BruteCosineTopK:
         )
 
 
-def merge_topk(batch: pa.Table, k: int) -> pa.Table:
+def merge_topk(batch: pa.Table, k: int, val_col: str = "cosine") -> pa.Table:
+    """Final top-k merge ranked by (val desc, vec_id asc) within each
+    query — the ONE merge kernel for both the float-cosine and integer
+    Q15 pipelines (the tie-break order IS the oracle contract)."""
     qid = batch["query_id"].to_numpy(zero_copy_only=False)
     vid = batch["vec_id"].to_numpy(zero_copy_only=False)
-    s = batch["cosine"].to_numpy(zero_copy_only=False)
+    s = batch[val_col].to_numpy(zero_copy_only=False)
     order = np.lexsort((vid, -s, qid))
     qid, vid, s = qid[order], vid[order], s[order]
     uq, starts = np.unique(qid, return_index=True)
@@ -76,8 +78,21 @@ def merge_topk(batch: pa.Table, k: int) -> pa.Table:
     keep = rank < k
     return pa.table(
         {"query_id": qid[keep], "vec_id": vid[keep],
-         "cosine": s[keep], "rank": (rank[keep] + 1).astype(np.int64)}
+         val_col: s[keep], "rank": (rank[keep] + 1).astype(np.int64)}
     )
+
+
+def _topk_with_ties(d: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the k best rows under the FULL (d desc, id asc) order.
+    argpartition alone picks an arbitrary subset among rows tied at the
+    k-th value — which breaks the hash-exact tie-break contract — so the
+    cutoff-tied rows are gathered and lexsorted exactly."""
+    if len(d) <= k:
+        return np.lexsort((ids, -d))
+    part = np.argpartition(-d, k - 1)
+    kth = d[part[k - 1]]
+    cand = np.nonzero(d >= kth)[0]
+    return cand[np.lexsort((ids[cand], -d[cand]))][:k]
 
 
 def _merge_partials(partials, k: int, merge: str):
@@ -138,8 +153,7 @@ class Q15TopK:
         k = min(self.k, dots.shape[0])
         for qi in range(dots.shape[1]):
             d = dots[:, qi]
-            part = np.argpartition(-d, k - 1)[:k] if len(d) > k else np.arange(len(d))
-            order = part[np.lexsort((ids[part], -d[part]))]
+            order = _topk_with_ties(d, ids, k)
             out_q.append(np.full(len(order), self.qid[qi], dtype=np.int64))
             out_v.append(ids[order])
             out_d.append(d[order])
@@ -150,21 +164,8 @@ class Q15TopK:
 
 
 def merge_topk_int(batch: pa.Table, k: int) -> pa.Table:
-    """Final merge for integer-dot partials: rank by (dot desc, vec_id)."""
-    qid = batch["query_id"].to_numpy(zero_copy_only=False)
-    vid = batch["vec_id"].to_numpy(zero_copy_only=False)
-    d = batch["dot_q15"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((vid, -d, qid))
-    qid, vid, d = qid[order], vid[order], d[order]
-    uq, starts = np.unique(qid, return_index=True)
-    rank = np.arange(len(qid)) - np.repeat(
-        starts, np.diff(np.append(starts, len(qid)))
-    )
-    keep = rank < k
-    return pa.table(
-        {"query_id": qid[keep], "vec_id": vid[keep],
-         "dot_q15": d[keep], "rank": (rank[keep] + 1).astype(np.int64)}
-    )
+    """Integer-dot merge — the shared merge_topk over the dot_q15 column."""
+    return merge_topk(batch, k, val_col="dot_q15")
 
 
 def ann_topk_q15(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
@@ -251,8 +252,7 @@ def ann_topk_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, centroids,
                 s = mat[m] @ self.q[qi]
                 sel_ids = ids[m]
                 kk = min(self.k, len(s))
-                part = np.argpartition(-s, kk - 1)[:kk] if len(s) > kk else np.arange(len(s))
-                order = part[np.lexsort((sel_ids[part], -s[part]))]
+                order = _topk_with_ties(s, sel_ids, kk)
                 out_q.append(np.full(len(order), self.qid[qi], dtype=np.int64))
                 out_v.append(sel_ids[order])
                 out_s.append(s[order].astype(np.float64))
@@ -315,7 +315,10 @@ def embedding_near_dup(ds, threshold: float = 0.9, num_planes: int = 16,
     # pyarrow joins reject list<double> payload columns — carry embeddings
     # as fixed-width binary through the joins, unpack in the verify
     def pack(batch: pa.Table) -> pa.Table:
-        emb = batch_embeddings(batch)
+        # cast BEFORE packing: the parquet column is float32, and _unpack
+        # reads float64 — packing the raw float32 bytes would reinterpret
+        # every pair of values as one garbage double
+        emb = batch_embeddings(batch).astype(np.float64)
         return pa.table(
             {"vec_id": batch["vec_id"],
              "embbin": pa.array([e.tobytes() for e in emb], type=pa.binary())}

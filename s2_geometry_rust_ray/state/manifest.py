@@ -79,16 +79,20 @@ class Manifest:
 
     def metrics(self) -> dict:
         """Job-level rollup of the per-shard metrics: shard count, total
-        rows, total wall seconds, aggregate rows/s.  Audit surface for the
-        driver / operators (`Manifest(out).metrics()` after any run)."""
+        rows, total wall seconds, aggregate rows/s.  rows_per_sec divides
+        only over METERED shards (rows that carry wall_s) — a manifest
+        mixing pre-metrics rows with new ones must not overstate the rate."""
         rows = self.rows()
+        metered = [r for r in rows if "wall_s" in r]
         total_rows = sum(r.get("row_count", 0) for r in rows)
-        total_wall = sum(r.get("wall_s", 0.0) for r in rows)
+        metered_rows = sum(r.get("row_count", 0) for r in metered)
+        total_wall = sum(r["wall_s"] for r in metered)
         return {
             "shards": len(rows),
             "rows": total_rows,
+            "unmetered_shards": len(rows) - len(metered),
             "wall_s": round(total_wall, 3),
-            "rows_per_sec": round(total_rows / total_wall) if total_wall else None,
+            "rows_per_sec": round(metered_rows / total_wall) if total_wall else None,
         }
 
     def to_table(self):
