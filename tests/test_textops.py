@@ -338,3 +338,47 @@ def test_quality_sql_twin_adversarial():
     w = want.sort_values("doc_id").reset_index(drop=True)
     assert list(g["lang_guess"]) == list(w["lang_guess"])
     assert np.array_equal(g["quality"].values, w["quality"].values)
+
+
+def test_topk_with_ties_exact_order():
+    """Rows tied at the k-th value must be selected by (value desc, id asc)
+    — not argpartition's arbitrary subset (the oracle's row_number order)."""
+    from s2_geometry_rust_ray.stages.simsearch import _topk_with_ties
+
+    d = np.array([5, 9, 5, 5, 9, 1, 5], dtype=np.int64)
+    ids = np.array([40, 10, 30, 20, 50, 60, 10_000], dtype=np.int64)
+    # k=4: the two 9s, then 5-ties broken by id -> ids 20, 30
+    sel = _topk_with_ties(d, ids, 4)
+    assert ids[sel].tolist() == [10, 50, 20, 30]
+    assert d[sel].tolist() == [9, 9, 5, 5]
+    # k >= n: full lexsort
+    sel_all = _topk_with_ties(d, ids, 10)
+    assert ids[sel_all].tolist() == [10, 50, 20, 30, 40, 10_000, 60]
+
+
+def test_q15_topk_tie_break_matches_sql_semantics(ray_session):
+    """Q15TopK over a corpus of duplicated vectors (maximal integer-dot
+    ties) must produce exactly the SQL row_number order."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from s2_geometry_rust_ray.stages import simsearch
+    from s2_geometry_rust_ray.oracle import sql as osql
+
+    rng = np.random.default_rng(2)
+    base = rng.normal(size=(6, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # 30 vectors = 5 copies of each of 6 distinct vectors -> heavy ties
+    emb = np.tile(base, (5, 1)).astype(np.float32)
+    ids = np.arange(30, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": [list(map(float, v)) for v in emb]})
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = simsearch.ann_topk_q15(ds, emb[:2], ids[:2], k=8).to_pandas()
+    con = duckdb.connect()
+    con.register("embeddings", df)
+    want = con.execute(osql.q_ann_q15(n_queries=2, k=8)).df()
+    cols = ["query_id", "rank", "vec_id", "dot_q15"]
+    g = got[cols].sort_values(["query_id", "rank"]).reset_index(drop=True)
+    w = want[cols].sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert g.values.tolist() == w.values.tolist()
