@@ -158,6 +158,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "events", columns=["ts", "event_type", "value"])
         )
 
+    def q_sliding(sf_dir: str):
+        return textops.sliding_window_counts(
+            _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+        )
+
+    def q_term_counts(sf_dir: str):
+        return textops.term_counts(
+            _read(sf_dir, "documents", columns=["text"])
+        )
+
     def q_sessions(sf_dir: str):
         return textops.sessionize(
             _read(sf_dir, "events", columns=["ts", "user_id"]), gap_minutes=30
@@ -340,6 +350,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": q_token_stats,
         "doc_exact_dedup": q_exact_dedup,
         "events_window_1h": q_window,
+        "events_sliding_1h_15m": q_sliding,
+        "doc_term_counts": q_term_counts,
         "events_sessions_30m": q_sessions,
         "events_asof_purchase_view": q_asof,
         "doc_quality": q_quality,
@@ -454,6 +466,24 @@ def oracle_sql() -> dict[str, str]:
             "count(*)::BIGINT AS n, "
             "CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_sliding_1h_15m": (
+            "WITH ev AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS us, "
+            "CAST(floor(value) AS BIGINT) AS fv FROM events), "
+            "win AS (SELECT event_type, "
+            "(us // 900000000 * 900000000 - j.j * 900000000) // 1000000 AS window_s, fv "
+            "FROM ev CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j) "
+            "SELECT event_type, window_s, count(*)::BIGINT AS n, "
+            "CAST(sum(fv) AS BIGINT) AS sum_floor_value FROM win GROUP BY 1, 2"
+        ),
+        "doc_term_counts": (
+            "WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), "
+            "'[A-Za-z0-9]+')) AS term FROM documents), "
+            "cnt AS (SELECT term, count(*)::BIGINT AS n FROM tok GROUP BY 1), "
+            "ranked AS (SELECT term, n, row_number() OVER "
+            "(ORDER BY n DESC, term) AS rank FROM cnt) "
+            "SELECT term, n, CAST(rank AS BIGINT) AS rank FROM ranked "
+            "WHERE rank <= 100"
         ),
         "doc_near_dup_pairs": osql.q_near_dup_pairs(),
         "doc_char_ngram_dedup": osql.q_near_dup_pairs(

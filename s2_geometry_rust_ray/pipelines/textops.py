@@ -242,6 +242,43 @@ def fingerprints(ds):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def term_counts(ds, top_n: int = 100):
+    """Global corpus term frequencies: top `top_n` lowercased tokens by
+    (count desc, term asc).  Oracle: GROUP BY over unnested
+    regexp_extract_all tokens + row_number truncation.
+
+    Physical plan: per-batch token explode + LOCAL combine (one row per
+    distinct term per batch — the map-side combine that keeps the exchange
+    proportional to vocabulary, not corpus size), sort-exchange reduce
+    (stages/agg), single bounded truncation task.  At 100 TB the
+    vocabulary is the shuffle payload; Zipf skew is absorbed by the
+    map-side combine (a hot term contributes one row per block)."""
+
+    def explode_count(batch: pd.DataFrame) -> pd.DataFrame:
+        tokens = batch["text"].str.lower().str.findall(T.TOKEN_RE)
+        flat = tokens.explode().dropna()
+        vc = flat.value_counts()
+        return pd.DataFrame(
+            {"term": vc.index.to_numpy(dtype=object),
+             "n": vc.to_numpy(dtype=np.int64)}
+        )
+
+    partials = ds.map_batches(explode_count, batch_format="pandas")
+    red = agg.reduce_by_key(partials, "term", {"n": "sum"}, final="single")
+
+    def truncate(batch: pa.Table) -> pa.Table:
+        term = batch["term"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((term, -n))[:top_n]
+        return pa.table(
+            {"term": pa.array(term[order], pa.string()),
+             "n": pa.array(n[order], pa.int64()),
+             "rank": pa.array(np.arange(1, len(order) + 1), pa.int64())}
+        )
+
+    return red.map_batches(truncate, batch_format="pyarrow")
+
+
 def sessionize(ds, gap_minutes: int = 30, num_parts: int | None = None):
     """Session windows over the events log: per user, events sorted by ts
     split into sessions at gaps > gap_minutes.  Output (user_id,
@@ -359,6 +396,69 @@ def asof_join_events(ds, left_type: str = "purchase", right_type: str = "view",
 
     parts = exchange.hash_exchange(slim, "user_id", num_parts)
     return exchange.partitions_to_dataset(parts, per_partition)
+
+
+def sliding_window_counts(ds, window_minutes: int = 60, hop_minutes: int = 15):
+    """SLIDING (hopping) windows over events: every event lands in
+    window_minutes/hop_minutes overlapping windows; output (event_type,
+    window_s, n, sum_floor_value) — the hopping-window companion to the
+    tumbling window_counts.  Integer arithmetic only (epoch-us floor
+    division), so the SQL twin (cross join over the hop offsets) is
+    bit-exact.
+
+    Physical plan: vectorized 4x row replication inside map_batches (the
+    fan-out happens AFTER the projection to 3 narrow columns), then the
+    same map-side-combine + sort-exchange reduce as the tumbling path."""
+    n_hops = window_minutes // hop_minutes
+    hop_us = hop_minutes * 60_000_000
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        epoch_us = ts.astype(np.int64)
+        base = epoch_us // hop_us * hop_us  # latest hop-aligned start <= ts
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        val = np.floor(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        # window starts base - j*hop for j in 0..n_hops-1 (every window
+        # containing ts), replicated vectorized
+        offs = (np.arange(n_hops, dtype=np.int64) * hop_us)[None, :]
+        window_s = ((base[:, None] - offs) // 1_000_000).ravel()
+        et_r = np.repeat(et, n_hops)
+        val_r = np.repeat(val, n_hops)
+        key = (
+            pd.Series(et_r).astype(str) + "|" + pd.Series(window_s).astype(str)
+        ).to_numpy(dtype=object)
+        df = pd.DataFrame(
+            {"key": key, "window_s": window_s,
+             "n": np.ones(len(et_r), dtype=np.int64), "sum_floor_value": val_r}
+        )
+        g = df.groupby("key", sort=False)
+        out = g.agg(
+            window_s=("window_s", "first"),
+            n=("n", "sum"),
+            sum_floor_value=("sum_floor_value", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(fn, batch_format="pyarrow")
+    red = agg.reduce_by_key(
+        partials, "key",
+        {"window_s": "min", "n": "sum", "sum_floor_value": "sum"},
+        final="single",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keys = batch["key"].to_numpy(zero_copy_only=False)
+        et = np.array([k.rsplit("|", 1)[0] for k in keys], dtype=object)
+        return pa.table(
+            {
+                "event_type": pa.array(et, type=pa.string()),
+                "window_s": batch["window_s"],
+                "n": batch["n"],
+                "sum_floor_value": batch["sum_floor_value"],
+            }
+        )
+
+    return red.map_batches(finish, batch_format="pyarrow")
 
 
 def window_counts(ds):

@@ -51,6 +51,8 @@ def _compare(df_ray, df_sql, sort_cols):
         "doc_fingerprints",
         "ann_topk_q15",
         "emb_near_dup_q15",
+        "events_sliding_1h_15m",
+        "doc_term_counts",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
