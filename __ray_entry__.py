@@ -168,6 +168,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", columns=["text"])
         )
 
+    def q_grouped_topk(sf_dir: str):
+        # per-event-type top-3 events by (floor(value) desc, event_id asc)
+        import pyarrow.compute as pc
+
+        from s2_geometry_rust_ray.stages import agg
+
+        ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+        def proj(batch):
+            fv = pc.cast(pc.floor(batch["value"]), "int64")
+            return batch.select(["event_id", "event_type"]).append_column(
+                "floor_value", fv
+            )
+
+        return agg.grouped_topk(
+            ds.map_batches(proj, batch_format="pyarrow"),
+            "event_type", "floor_value", "event_id", 3,
+        )
+
+    def q_distinct_users(sf_dir: str):
+        from s2_geometry_rust_ray.stages import agg
+
+        ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+        return agg.distinct_count_by_key(ds, "event_type", "user_id")
+
     def q_sessions(sf_dir: str):
         return textops.sessionize(
             _read(sf_dir, "events", columns=["ts", "user_id"]), gap_minutes=30
@@ -352,6 +377,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_1h": q_window,
         "events_sliding_1h_15m": q_sliding,
         "doc_term_counts": q_term_counts,
+        "events_top3_per_type": q_grouped_topk,
+        "events_distinct_users_per_type": q_distinct_users,
         "events_sessions_30m": q_sessions,
         "events_asof_purchase_view": q_asof,
         "doc_quality": q_quality,
@@ -484,6 +511,19 @@ def oracle_sql() -> dict[str, str]:
             "(ORDER BY n DESC, term) AS rank FROM cnt) "
             "SELECT term, n, CAST(rank AS BIGINT) AS rank FROM ranked "
             "WHERE rank <= 100"
+        ),
+        "events_top3_per_type": (
+            "WITH ranked AS (SELECT event_type, "
+            "CAST(floor(value) AS BIGINT) AS floor_value, event_id, "
+            "row_number() OVER (PARTITION BY event_type "
+            "ORDER BY CAST(floor(value) AS BIGINT) DESC, event_id) AS rank "
+            "FROM events) "
+            "SELECT event_type, floor_value, event_id, CAST(rank AS BIGINT) AS rank "
+            "FROM ranked WHERE rank <= 3"
+        ),
+        "events_distinct_users_per_type": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct "
+            "FROM events GROUP BY 1"
         ),
         "doc_near_dup_pairs": osql.q_near_dup_pairs(),
         "doc_char_ngram_dedup": osql.q_near_dup_pairs(

@@ -164,6 +164,93 @@ def distinct_keys(ds, key_col: str, final: str = "single"):
     return first.sort(key_col).map_batches(uniq, batch_format="pyarrow")
 
 
+def grouped_topk(ds, key_col: str, val_col: str, id_col: str, n: int):
+    """Per-group top-N: for each key the n rows with largest (val desc,
+    id asc) — the grouped companion of the kNN/ANN top-k merges.
+
+    Plan: per-block LOCAL top-n per key (the combine — each block emits at
+    most n rows per distinct key it contains), sort-exchange by key, final
+    per-key truncation.  The exchange payload is bounded by
+    distinct_keys_per_block * n, independent of row count.  Ties break by
+    id ascending — the SQL row_number contract."""
+
+    def local_topn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select([key_col, val_col, id_col])
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        v = batch[val_col].to_numpy(zero_copy_only=False)
+        i = batch[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, -v, k))
+        k, v, i = k[order], v[order], i[order]
+        is_new = np.ones(len(k), dtype=bool)
+        is_new[1:] = k[1:] != k[:-1]
+        starts = np.nonzero(is_new)[0]
+        rank = np.arange(len(k)) - np.repeat(
+            starts, np.diff(np.append(starts, len(k)))
+        )
+        keep = rank < n
+        return pa.table({key_col: k[keep], val_col: v[keep], id_col: i[keep]})
+
+    partials = ds.map_batches(local_topn, batch_format="pyarrow")
+    merged = partials.sort(key_col).map_batches(
+        local_topn, batch_format="pyarrow", batch_size=None
+    )
+    # a key may straddle adjacent sorted blocks: one bounded final pass
+    final = merged.repartition(1).map_batches(
+        local_topn, batch_format="pyarrow", batch_size=None
+    )
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        is_new = np.ones(len(k), dtype=bool)
+        is_new[1:] = k[1:] != k[:-1]
+        starts = np.nonzero(is_new)[0]
+        rank = np.arange(len(k)) - np.repeat(
+            starts, np.diff(np.append(starts, len(k)))
+        )
+        return batch.append_column("rank", pa.array(rank + 1, pa.int64()))
+
+    return final.map_batches(add_rank, batch_format="pyarrow", batch_size=None)
+
+
+def distinct_count_by_key(ds, key_col: str, distinct_col: str,
+                          out_col: str = "n_distinct"):
+    """Exact COUNT(DISTINCT distinct_col) GROUP BY key_col.
+
+    Plan: per-block (key, value) dedup (combine), sort-exchange on the
+    key, per-block pair dedup + boundary-safe final count in one bounded
+    task (pair cardinality = sum of per-key distinct counts)."""
+
+    def pair_dedup(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select([key_col, distinct_col])
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        v = batch[distinct_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        keep = np.ones(len(k), dtype=bool)
+        keep[1:] = (k[1:] != k[:-1]) | (v[1:] != v[:-1])
+        return pa.table({key_col: k[keep], distinct_col: v[keep]})
+
+    partials = ds.map_batches(pair_dedup, batch_format="pyarrow")
+    merged = partials.sort(key_col).map_batches(
+        pair_dedup, batch_format="pyarrow", batch_size=None
+    )
+
+    def count_final(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key_col: batch[key_col],
+                             out_col: pa.array([], pa.int64())})
+        t = pair_dedup(batch)
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        uk, counts = np.unique(k, return_counts=True)
+        return pa.table({key_col: uk, out_col: counts.astype(np.int64)})
+
+    return merged.repartition(1).map_batches(
+        count_final, batch_format="pyarrow", batch_size=None
+    )
+
+
 def count_by_key(ds, key_col: str, final: str = "single", out_col: str = "n"):
     """COUNT(*) GROUP BY key via sum_by_key over a ones column."""
 

@@ -53,6 +53,8 @@ def _compare(df_ray, df_sql, sort_cols):
         "emb_near_dup_q15",
         "events_sliding_1h_15m",
         "doc_term_counts",
+        "events_top3_per_type",
+        "events_distinct_users_per_type",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
