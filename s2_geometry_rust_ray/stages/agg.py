@@ -164,7 +164,8 @@ def distinct_keys(ds, key_col: str, final: str = "single"):
     return first.sort(key_col).map_batches(uniq, batch_format="pyarrow")
 
 
-def grouped_topk(ds, key_col: str, val_col: str, id_col: str, n: int):
+def grouped_topk(ds, key_col: str, val_col: str, id_col: str, n: int,
+                 final: str = "single"):
     """Per-group top-N: for each key the n rows with largest (val desc,
     id asc) — the grouped companion of the kNN/ANN top-k merges.
 
@@ -195,10 +196,18 @@ def grouped_topk(ds, key_col: str, val_col: str, id_col: str, n: int):
     merged = partials.sort(key_col).map_batches(
         local_topn, batch_format="pyarrow", batch_size=None
     )
-    # a key may straddle adjacent sorted blocks: one bounded final pass
-    final = merged.repartition(1).map_batches(
-        local_topn, batch_format="pyarrow", batch_size=None
-    )
+    # a key may straddle adjacent sorted blocks; final='single' fixes the
+    # boundaries in one bounded task (<= distinct_keys * n rows),
+    # final='sorted' uses a second (tiny) sort round and stays distributed
+    # — the high-cardinality-key scale path, same trick as reduce_by_key
+    if final == "single":
+        out = merged.repartition(1).map_batches(
+            local_topn, batch_format="pyarrow", batch_size=None
+        )
+    else:
+        out = merged.sort(key_col).map_batches(
+            local_topn, batch_format="pyarrow", batch_size=None
+        )
 
     def add_rank(batch: pa.Table) -> pa.Table:
         k = batch[key_col].to_numpy(zero_copy_only=False)
@@ -210,11 +219,11 @@ def grouped_topk(ds, key_col: str, val_col: str, id_col: str, n: int):
         )
         return batch.append_column("rank", pa.array(rank + 1, pa.int64()))
 
-    return final.map_batches(add_rank, batch_format="pyarrow", batch_size=None)
+    return out.map_batches(add_rank, batch_format="pyarrow", batch_size=None)
 
 
 def distinct_count_by_key(ds, key_col: str, distinct_col: str,
-                          out_col: str = "n_distinct"):
+                          out_col: str = "n_distinct", final: str = "single"):
     """Exact COUNT(DISTINCT distinct_col) GROUP BY key_col.
 
     Plan: per-block (key, value) dedup (combine), sort-exchange on the
@@ -246,7 +255,12 @@ def distinct_count_by_key(ds, key_col: str, distinct_col: str,
         uk, counts = np.unique(k, return_counts=True)
         return pa.table({key_col: uk, out_col: counts.astype(np.int64)})
 
-    return merged.repartition(1).map_batches(
+    if final == "single":
+        return merged.repartition(1).map_batches(
+            count_final, batch_format="pyarrow", batch_size=None
+        )
+    # scale path: second sort co-locates each key in one block; count there
+    return merged.sort(key_col).map_batches(
         count_final, batch_format="pyarrow", batch_size=None
     )
 
