@@ -382,3 +382,41 @@ def test_q15_topk_tie_break_matches_sql_semantics(ray_session):
     g = got[cols].sort_values(["query_id", "rank"]).reset_index(drop=True)
     w = want[cols].sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert g.values.tolist() == w.values.tolist()
+
+
+def test_grouped_aggregates_sorted_final_matches_single(ray_session):
+    """final='sorted' (distributed) must equal final='single' for both
+    grouped_topk and distinct_count_by_key."""
+    import pandas as pd
+    import ray.data
+
+    from s2_geometry_rust_ray.stages import agg
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n),
+        "v": rng.integers(0, 25, n),  # many ties
+        "i": rng.permutation(n).astype(np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(6)
+    cols = ["k", "v", "i", "rank"]
+    a = agg.grouped_topk(ds, "k", "v", "i", 3).to_pandas()
+    b = agg.grouped_topk(ds, "k", "v", "i", 3, final="sorted").to_pandas()
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+    # brute-force oracle
+    want = (
+        df.sort_values(["k", "v", "i"], ascending=[True, False, True])
+        .groupby("k").head(3)
+    )
+    assert len(a) == len(want)
+
+    da = agg.distinct_count_by_key(ds, "k", "v").to_pandas()
+    db = agg.distinct_count_by_key(ds, "k", "v", final="sorted").to_pandas()
+    da = da.sort_values("k").reset_index(drop=True)
+    db = db.sort_values("k").reset_index(drop=True)
+    assert da.equals(db)
+    brute = df.groupby("k")["v"].nunique()
+    assert dict(zip(da["k"], da["n_distinct"])) == brute.to_dict()
