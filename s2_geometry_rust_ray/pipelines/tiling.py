@@ -46,11 +46,13 @@ def tile_counts(
     first); pass final='sorted' for high tile levels whose cardinality should
     stay distributed.
     """
-    encoded = ds.map_batches(
-        geotag_and_encode(key_col), batch_format="pyarrow", batch_size=batch_size
-    )
-    partials = encoded.map_batches(
-        tile_partial_counts(level), batch_format="pyarrow", batch_size=batch_size
+    # encode + map-side combine FUSED into one wrapper: each extra
+    # map_batches layer re-slices and re-wraps every batch (~10-20% of the
+    # headline encode job; Ray fuses the operators either way)
+    enc = geotag_and_encode(key_col)
+    tp = tile_partial_counts(level)
+    partials = ds.map_batches(
+        lambda b: tp(enc(b)), batch_format="pyarrow", batch_size=batch_size
     )
     if final == "single" and level <= 10:
         # bounded cardinality (<= 6*4^level keys): sort-free tree merge
