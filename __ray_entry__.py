@@ -221,6 +221,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_simhash(sf_dir: str):
         return textops.simhash_table(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
+    def q_dedup_clusters(sf_dir: str):
+        # connected components over the simhash near-dup pairs: every doc
+        # gets the min doc_id of its duplicate cluster (iterative
+        # distributed min-label propagation; recursive-CTE closure twin)
+        from s2_geometry_rust_ray.pipelines.dedup_clusters import dedup_clusters
+
+        docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        pairs = textops.simhash_near_dup(docs)
+        ids = _read(sf_dir, "documents", columns=["doc_id"])
+        return dedup_clusters(ids, pairs)
+
     def q_simhash_near_dup(sf_dir: str):
         return textops.simhash_near_dup(
             _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -386,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_char_ngram_dedup": q_char_ngram_dedup,
         "doc_simhash": q_simhash,
         "doc_simhash_near_dup": q_simhash_near_dup,
+        "doc_dedup_clusters": q_dedup_clusters,
         "doc_fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann,
         "ann_topk_q15": q_ann_q15,
@@ -531,6 +543,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_simhash": osql.q_simhash(),
         "doc_simhash_near_dup": osql.q_simhash_near_dup(),
+        "doc_dedup_clusters": osql.q_dedup_clusters(osql.q_simhash_near_dup()),
         "doc_fingerprints": osql.q_fingerprints(),
         "doc_quality": osql.q_quality(),
         "ann_topk_q15": osql.q_ann_q15(n_queries=25, k=10),

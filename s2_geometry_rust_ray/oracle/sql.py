@@ -293,6 +293,27 @@ def q_ann_q15(n_queries: int = 25, k: int = 10) -> str:
   FROM ranked WHERE rank <= {k}"""
 
 
+def q_dedup_clusters(pair_sql: str,
+                     universe_sql: str = "SELECT doc_id FROM documents") -> str:
+    """Connected-components twin of pipelines/dedup_clusters: recursive
+    transitive closure over the SAME pair query (embedded verbatim as a
+    CTE), min reachable id per doc.  Pure integer => bit-exact vs the
+    engine's min-label propagation."""
+    return f"""WITH RECURSIVE pairs AS ({pair_sql}),
+  edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+  ),
+  ids AS ({universe_sql}),
+  reach(v, r) AS (
+    SELECT doc_id, doc_id FROM ids
+    UNION
+    SELECT e.v, re.r FROM reach re JOIN edges e ON e.u = re.v
+  )
+  SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v"""
+
+
 def q_emb_near_dup_q15(threshold_q15: int, num_planes: int = 16,
                        dim: int = 64, seed: int = 7,
                        id_offset: int = 10_000_000) -> str:

@@ -1,0 +1,101 @@
+"""Dedup clustering: connected components over near-duplicate pairs.
+
+The step that turns pairwise near-dup evidence into dedup DECISIONS: every
+document gets cluster_id = min(doc_id) of its connected component in the
+pair graph (singletons are their own cluster), i.e. the canonical survivor
+per duplicate group.
+
+Physical plan (the standard iterative min-label propagation, each round
+fully distributed):
+
+  labels_0[v] = v
+  labels_{t+1}[v] = min(labels_t[v], min over edges (u,v) of labels_t[u])
+
+Every round is one hash-partitioned equi-join (edges x labels, co-located
+by u — stages/exchange.hash_join) plus one sort-exchange min-reduce
+(stages/agg.reduce_by_key).  Labels are monotone non-increasing, so
+sum(labels) is a convergence certificate: the loop stops the first round
+the sum is unchanged (no label moved).  Rounds needed = graph diameter —
+near-dup components are duplicate clusters, diameter O(1)-ish in practice;
+`max_iters` bounds pathological chains.
+
+The driver holds ONLY the scalar label-sum per round; labels and edges
+stay distributed.  100 TB: the labels table is one row per document,
+hash-partitioned; each round's join moves edge rows to their u-partition —
+proportional to the pair count, not the corpus.
+
+Oracle: a recursive-CTE transitive closure over the SAME pair query
+(oracle/sql-composed in __ray_entry__), min(reachable id) per doc —
+bit-exact because everything is integer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def dedup_clusters(ids_ds, pairs_ds, id_col: str = "doc_id",
+                   a_col: str = "doc_a", b_col: str = "doc_b",
+                   num_parts: int | None = None, max_iters: int = 50):
+    """-> Dataset (id_col, cluster_id): min-id connected component per id.
+
+    ids_ds: one row per document (the universe — singletons included).
+    pairs_ds: near-dup pairs (a_col, b_col), any direction, deduped or not.
+    """
+    import ray.data
+
+    from ..stages import agg, exchange
+
+    if num_parts is None:
+        num_parts = exchange.default_num_parts()
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"u": np.concatenate([a, b]),
+                         "v": np.concatenate([b, a])})
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow")
+    # edges are re-joined every round: materialize the exchange input once
+    edges = edges.materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        i = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: i, "label": i})
+
+    labels = ids_ds.map_batches(init_labels, batch_format="pyarrow").materialize()
+
+    def label_sum(ds) -> int:
+        return int(ds.sum("label"))
+
+    prev_sum = label_sum(labels)
+    for _ in range(max_iters):
+        # candidate labels flow along edges: (u, v) x (u, label) -> (v, label)
+        cand = exchange.hash_join(
+            edges, labels, "u", num_parts=num_parts, right_on=id_col
+        )
+
+        def project_v(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {id_col: batch["v"].to_numpy(zero_copy_only=False),
+                 "label": batch["label"].to_numpy(zero_copy_only=False)}
+            )
+
+        cand_v = cand.map_batches(project_v, batch_format="pyarrow")
+        merged = labels.union(cand_v)
+        labels = agg.reduce_by_key(
+            merged, id_col, {"label": "min"}, final="sorted"
+        ).materialize()
+        cur = label_sum(labels)
+        if cur == prev_sum:  # labels monotone: unchanged sum == fixpoint
+            break
+        prev_sum = cur
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: batch[id_col].to_numpy(zero_copy_only=False),
+             "cluster_id": batch["label"].to_numpy(zero_copy_only=False)}
+        )
+
+    return labels.map_batches(finish, batch_format="pyarrow")

@@ -55,6 +55,7 @@ def _compare(df_ray, df_sql, sort_cols):
         "doc_term_counts",
         "events_top3_per_type",
         "events_distinct_users_per_type",
+        "doc_dedup_clusters",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):

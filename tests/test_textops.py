@@ -420,3 +420,26 @@ def test_grouped_aggregates_sorted_final_matches_single(ray_session):
     assert da.equals(db)
     brute = df.groupby("k")["v"].nunique()
     assert dict(zip(da["k"], da["n_distinct"])) == brute.to_dict()
+
+
+def test_dedup_clusters_chain_convergence(ray_session):
+    """Min-label propagation must converge across multi-hop chains (label
+    travels one edge per round) and leave singletons alone."""
+    import pandas as pd
+    import ray.data
+
+    from s2_geometry_rust_ray.pipelines.dedup_clusters import dedup_clusters
+
+    ids = pd.DataFrame({"doc_id": np.arange(12, dtype=np.int64)})
+    # chain 0-1-2-3-4, triangle 5-6-7, pair 8-9; 10, 11 singletons
+    pairs = pd.DataFrame({
+        "doc_a": np.array([1, 2, 3, 4, 5, 6, 7, 8], dtype=np.int64),
+        "doc_b": np.array([0, 1, 2, 3, 6, 7, 5, 9], dtype=np.int64),
+    })
+    out = dedup_clusters(
+        ray.data.from_pandas(ids).repartition(3),
+        ray.data.from_pandas(pairs).repartition(2),
+        num_parts=4,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = [0, 0, 0, 0, 0, 5, 5, 5, 8, 8, 10, 11]
+    assert out["cluster_id"].tolist() == want
