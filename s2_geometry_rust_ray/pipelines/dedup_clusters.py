@@ -57,8 +57,11 @@ def dedup_clusters(ids_ds, pairs_ds, id_col: str = "doc_id",
                          "v": np.concatenate([b, a])})
 
     edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow")
-    # edges are re-joined every round: materialize the exchange input once
-    edges = edges.materialize()
+    # the STATIC edge table is hash-partitioned ONCE by u — each round
+    # only exchanges the labels and zips against the pinned edge shards
+    # (re-exchanging the full edge set every round would dominate the
+    # per-round cost at scale)
+    edge_parts = exchange.hash_exchange(edges, "u", num_parts)
 
     def init_labels(batch: pa.Table) -> pa.Table:
         i = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -69,28 +72,37 @@ def dedup_clusters(ids_ds, pairs_ds, id_col: str = "doc_id",
     def label_sum(ds) -> int:
         return int(ds.sum("label"))
 
-    prev_sum = label_sum(labels)
-    for _ in range(max_iters):
-        # candidate labels flow along edges: (u, v) x (u, label) -> (v, label)
-        cand = exchange.hash_join(
-            edges, labels, "u", num_parts=num_parts, right_on=id_col
+    def join_part(et: pa.Table, lt: pa.Table) -> pa.Table:
+        # (u, v) x (doc_id==u, label) -> (doc_id=v, label)
+        j = et.join(lt, keys="u", right_keys=id_col, join_type="inner")
+        return pa.table(
+            {id_col: j["v"].to_numpy(zero_copy_only=False),
+             "label": j["label"].to_numpy(zero_copy_only=False)}
         )
 
-        def project_v(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {id_col: batch["v"].to_numpy(zero_copy_only=False),
-                 "label": batch["label"].to_numpy(zero_copy_only=False)}
-            )
-
-        cand_v = cand.map_batches(project_v, batch_format="pyarrow")
+    prev_sum = label_sum(labels)
+    converged = False
+    for _ in range(max_iters):
+        # candidate labels flow along edges; labels co-partitioned with the
+        # pinned edge shards (same hash fn + partition count)
+        label_parts = exchange.hash_exchange(labels, id_col, num_parts)
+        cand_v = exchange.zip_partitions_to_dataset(
+            edge_parts, label_parts, join_part
+        )
         merged = labels.union(cand_v)
         labels = agg.reduce_by_key(
             merged, id_col, {"label": "min"}, final="sorted"
         ).materialize()
         cur = label_sum(labels)
         if cur == prev_sum:  # labels monotone: unchanged sum == fixpoint
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iters={max_iters} "
+            "rounds (component diameter exceeds the bound); raise max_iters"
+        )
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table(

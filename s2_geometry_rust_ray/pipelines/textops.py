@@ -406,9 +406,20 @@ def sliding_window_counts(ds, window_minutes: int = 60, hop_minutes: int = 15):
     division), so the SQL twin (cross join over the hop offsets) is
     bit-exact.
 
-    Physical plan: vectorized 4x row replication inside map_batches (the
-    fan-out happens AFTER the projection to 3 narrow columns), then the
-    same map-side-combine + sort-exchange reduce as the tumbling path."""
+    Physical plan: vectorized n_hops-fold row replication inside
+    map_batches (the fan-out happens AFTER the projection to 3 narrow
+    columns), then the map-side-combine + sort-exchange reduce.
+    window_counts (tumbling) is the n_hops=1 special case and delegates
+    here.
+
+    The hop grid must tile the window exactly: a non-divisible pair would
+    need a variable per-event window count (and hop > window would emit
+    nothing) — rejected up front rather than silently mis-windowed."""
+    if window_minutes % hop_minutes != 0 or window_minutes < hop_minutes:
+        raise ValueError(
+            f"window_minutes ({window_minutes}) must be a positive multiple "
+            f"of hop_minutes ({hop_minutes})"
+        )
     n_hops = window_minutes // hop_minutes
     hop_us = hop_minutes * 60_000_000
 
@@ -463,51 +474,7 @@ def sliding_window_counts(ds, window_minutes: int = 60, hop_minutes: int = 15):
 
 def window_counts(ds):
     """Tumbling 1-hour windows over events: (event_type, window_s, n,
-    sum_floor_value).  Integer sums only (order-independent => bit-exact vs
-    the SQL oracle).  The window key is (epoch_us // 3600e6) * 3600 secs."""
-
-    def fn(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
-        epoch_us = ts.astype(np.int64)
-        window_s = epoch_us // 3_600_000_000 * 3600
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        val = np.floor(batch["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
-        # composite combine key via vectorized pandas string ops (the
-        # per-row f-string loop was the last Python loop in this kernel);
-        # the string key stays globally consistent across batches, which
-        # an integer factorize per batch would not be
-        key = (pd.Series(et).astype(str) + "|" + pd.Series(window_s).astype(str)).to_numpy(dtype=object)
-        df = pd.DataFrame(
-            {"key": key, "event_type": et, "window_s": window_s,
-             "n": np.ones(len(et), dtype=np.int64), "sum_floor_value": val}
-        )
-        g = df.groupby("key", sort=False)
-        out = g.agg(
-            event_type=("event_type", "first"),
-            window_s=("window_s", "first"),
-            n=("n", "sum"),
-            sum_floor_value=("sum_floor_value", "sum"),
-        ).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    partials = ds.map_batches(fn, batch_format="pyarrow")
-    red = agg.reduce_by_key(
-        partials,
-        "key",
-        {"window_s": "min", "n": "sum", "sum_floor_value": "sum"},
-        final="single",
-    )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        keys = batch["key"].to_numpy(zero_copy_only=False)
-        et = np.array([k.rsplit("|", 1)[0] for k in keys], dtype=object)
-        return pa.table(
-            {
-                "event_type": pa.array(et, type=pa.string()),
-                "window_s": batch["window_s"],
-                "n": batch["n"],
-                "sum_floor_value": batch["sum_floor_value"],
-            }
-        )
-
-    return red.map_batches(finish, batch_format="pyarrow")
+    sum_floor_value).  The n_hops=1 special case of the sliding-window
+    kernel — one implementation, two grids (the SQL twin matches because
+    us // 3600e6 * 3600e6 // 1e6 == epoch(date_trunc('hour', ts)))."""
+    return sliding_window_counts(ds, window_minutes=60, hop_minutes=60)

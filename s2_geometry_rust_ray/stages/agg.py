@@ -193,21 +193,6 @@ def grouped_topk(ds, key_col: str, val_col: str, id_col: str, n: int,
         return pa.table({key_col: k[keep], val_col: v[keep], id_col: i[keep]})
 
     partials = ds.map_batches(local_topn, batch_format="pyarrow")
-    merged = partials.sort(key_col).map_batches(
-        local_topn, batch_format="pyarrow", batch_size=None
-    )
-    # a key may straddle adjacent sorted blocks; final='single' fixes the
-    # boundaries in one bounded task (<= distinct_keys * n rows),
-    # final='sorted' uses a second (tiny) sort round and stays distributed
-    # — the high-cardinality-key scale path, same trick as reduce_by_key
-    if final == "single":
-        out = merged.repartition(1).map_batches(
-            local_topn, batch_format="pyarrow", batch_size=None
-        )
-    else:
-        out = merged.sort(key_col).map_batches(
-            local_topn, batch_format="pyarrow", batch_size=None
-        )
 
     def add_rank(batch: pa.Table) -> pa.Table:
         k = batch[key_col].to_numpy(zero_copy_only=False)
@@ -219,7 +204,26 @@ def grouped_topk(ds, key_col: str, val_col: str, id_col: str, n: int,
         )
         return batch.append_column("rank", pa.array(rank + 1, pa.int64()))
 
-    return out.map_batches(add_rank, batch_format="pyarrow", batch_size=None)
+    if final == "single":
+        # one bounded task (<= distinct_keys * n rows after a range sort)
+        merged = partials.sort(key_col).map_batches(
+            local_topn, batch_format="pyarrow", batch_size=None
+        )
+        out = merged.repartition(1).map_batches(
+            local_topn, batch_format="pyarrow", batch_size=None
+        )
+        return out.map_batches(add_rank, batch_format="pyarrow", batch_size=None)
+    # scale path: HASH exchange — unlike a range sort (whose oversized
+    # partitions get split at arbitrary rows, letting one key straddle two
+    # blocks and emit 2n rows with duplicate ranks), hash partitioning
+    # co-locates every key exactly, so the per-partition top-n + rank is
+    # final
+    from . import exchange
+
+    parts = exchange.hash_exchange(partials, key_col, exchange.default_num_parts())
+    return exchange.partitions_to_dataset(
+        parts, lambda t: add_rank(local_topn(t))
+    )
 
 
 def distinct_count_by_key(ds, key_col: str, distinct_col: str,
@@ -230,7 +234,12 @@ def distinct_count_by_key(ds, key_col: str, distinct_col: str,
     key, per-block pair dedup + boundary-safe final count in one bounded
     task (pair cardinality = sum of per-key distinct counts)."""
 
+    import pyarrow.compute as pc
+
     def pair_dedup(batch: pa.Table) -> pa.Table:
+        # SQL COUNT(DISTINCT) ignores NULLs: drop them up front (a NaN
+        # value would also defeat the != dedup mask — NaN != NaN)
+        batch = batch.filter(pc.is_valid(batch[distinct_col]))
         if batch.num_rows == 0:
             return batch.select([key_col, distinct_col])
         k = batch[key_col].to_numpy(zero_copy_only=False)
@@ -241,11 +250,6 @@ def distinct_count_by_key(ds, key_col: str, distinct_col: str,
         keep[1:] = (k[1:] != k[:-1]) | (v[1:] != v[:-1])
         return pa.table({key_col: k[keep], distinct_col: v[keep]})
 
-    partials = ds.map_batches(pair_dedup, batch_format="pyarrow")
-    merged = partials.sort(key_col).map_batches(
-        pair_dedup, batch_format="pyarrow", batch_size=None
-    )
-
     def count_final(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({key_col: batch[key_col],
@@ -255,14 +259,22 @@ def distinct_count_by_key(ds, key_col: str, distinct_col: str,
         uk, counts = np.unique(k, return_counts=True)
         return pa.table({key_col: uk, out_col: counts.astype(np.int64)})
 
+    partials = ds.map_batches(pair_dedup, batch_format="pyarrow")
     if final == "single":
+        merged = partials.sort(key_col).map_batches(
+            pair_dedup, batch_format="pyarrow", batch_size=None
+        )
         return merged.repartition(1).map_batches(
             count_final, batch_format="pyarrow", batch_size=None
         )
-    # scale path: second sort co-locates each key in one block; count there
-    return merged.sort(key_col).map_batches(
-        count_final, batch_format="pyarrow", batch_size=None
-    )
+    # scale path: HASH exchange co-locates every key exactly (a range
+    # sort's oversized partitions split at arbitrary rows, which would
+    # double-count a straddling key — and the count finalizer, unlike
+    # sum/min/max, is NOT re-reducible, so no later round could fix it)
+    from . import exchange
+
+    parts = exchange.hash_exchange(partials, key_col, exchange.default_num_parts())
+    return exchange.partitions_to_dataset(parts, count_final)
 
 
 def count_by_key(ds, key_col: str, final: str = "single", out_col: str = "n"):

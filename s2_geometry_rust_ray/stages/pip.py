@@ -144,8 +144,7 @@ class PIPJoin:
     (either an ObjectRef to put()-data or a plain dict of
     {polygon_id: [ [(lat,lng),...] loop, ... ]})."""
 
-    def __init__(self, layer, key_col: str = "k", mode: str = "inner",
-                 encode_inside: bool = False):
+    def __init__(self, layer, key_col: str = "k", mode: str = "inner"):
         import ray
 
         if isinstance(layer, ray.ObjectRef):
@@ -159,30 +158,8 @@ class PIPJoin:
         self.interiors = prepared.interiors
         self.key_col = key_col
         self.mode = mode
-        # encode_inside: derive geotags + cells in THIS actor call instead
-        # of an upstream map_batches stage — one wrapper layer fewer per
-        # batch (measured ~25% faster end-to-end at sf0.1; Ray fuses the
-        # chained stages into one operator either way, but each extra
-        # map_batches wrapper re-slices and re-wraps every batch)
-        self._encode = None
-        if encode_inside:
-            from .encode import geotag_and_encode
-
-            self._encode = geotag_and_encode(key_col)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions import cellid as _cellid
-
-        if self._encode is not None:
-            orig_cols = batch.column_names
-            batch = self._encode(batch)
-            if self.mode in ("semi", "anti"):
-                # filtered pass-through modes must not leak derived columns
-                filtered = self._inner_call(batch)
-                return filtered.select(orig_cols)
-        return self._inner_call(batch)
-
-    def _inner_call(self, batch: pa.Table) -> pa.Table:
         from ..functions import cellid as _cellid
 
         lat = batch["lat"].to_numpy(zero_copy_only=False)

@@ -406,12 +406,14 @@ def test_grouped_aggregates_sorted_final_matches_single(ray_session):
     a = a[cols].sort_values(cols).reset_index(drop=True)
     b = b[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b)
-    # brute-force oracle
+    # brute-force oracle: exact rows, not just the count
     want = (
         df.sort_values(["k", "v", "i"], ascending=[True, False, True])
         .groupby("k").head(3)
     )
-    assert len(a) == len(want)
+    want = want.assign(rank=want.groupby("k").cumcount() + 1)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert a[cols].values.tolist() == w.values.tolist()
 
     da = agg.distinct_count_by_key(ds, "k", "v").to_pandas()
     db = agg.distinct_count_by_key(ds, "k", "v", final="sorted").to_pandas()
