@@ -185,19 +185,17 @@ def run_benchmarks() -> dict:
 
         t0 = time.perf_counter()
         ds = expanded_points(SF_DIR, EXPAND)
-        ppip.pip_join(ds, "k", concurrency=(1, max(2, NUM_CPUS // 2))).count()
+        ppip.pip_join(ds, "k").count()
         queries["pip_join"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         ds = expanded_points(SF_DIR, EXPAND)
-        pknn.knn_brute(ds, "k", k=10, n_queries=50,
-                       concurrency=(1, max(2, NUM_CPUS // 2))).count()
+        pknn.knn_brute(ds, "k", k=10, n_queries=50).count()
         queries["knn_brute"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         ds = expanded_points(SF_DIR, EXPAND)
-        pknn.knn_cell(ds, "k", k=10, n_queries=50, n_estimate=n_points,
-                      concurrency=(1, max(2, NUM_CPUS // 2))).count()
+        pknn.knn_cell(ds, "k", k=10, n_queries=50, n_estimate=n_points).count()
         queries["knn_cell"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()

@@ -21,6 +21,7 @@ import pyarrow as pa
 
 from ..functions import cellid
 from ..stages.encode import encode_cells
+from ..stages.exchange import default_actor_concurrency as _default_conc
 from . import tiling
 
 
@@ -57,7 +58,7 @@ def image_tile_counts(images_dir: str, level: int = 8, final: str = "single"):
 
 
 def image_pip_join(images_dir: str, layer=None, mode: str = "inner",
-                   concurrency=(1, 8)):
+                   concurrency=None):
     from ..stages import pip as pip_stages
     from .pip import standard_polygon_layer
 
@@ -70,7 +71,7 @@ def image_pip_join(images_dir: str, layer=None, mode: str = "inner",
         fn_constructor_kwargs={"layer": prepared, "key_col": "image_id", "mode": mode},
         batch_format="pyarrow",
         batch_size=65536,
-        concurrency=concurrency,
+        concurrency=concurrency or _default_conc(),
     )
 
 

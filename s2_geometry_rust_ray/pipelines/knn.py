@@ -11,6 +11,7 @@ import numpy as np
 from ..functions import geo
 from ..functions.coords import latlng_deg_to_xyz
 from ..stages import knn as knn_stages
+from ..stages.exchange import default_actor_concurrency as _default_conc
 from ..stages.encode import derive_geotags
 
 QUERY_KEY_BASE = 900_000_000  # query keys live far above any row key
@@ -36,7 +37,7 @@ def merge_partials(partials, k: int, merge: str = "single"):
 
 
 def knn_brute(ds, key_col: str, k: int = 5, n_queries: int = 50,
-              concurrency=(1, 8), merge: str = "single"):
+              concurrency=None, merge: str = "single"):
     """Exact kNN: (query_id, neighbor, d2, rank) — brute-force baseline."""
     queries = make_queries(n_queries)
     tagged = ds.map_batches(
@@ -47,7 +48,7 @@ def knn_brute(ds, key_col: str, k: int = 5, n_queries: int = 50,
         fn_constructor_kwargs={"queries": queries, "k": k, "key_col": key_col},
         batch_format="pyarrow",
         batch_size=262144,
-        concurrency=concurrency,
+        concurrency=concurrency or _default_conc(),
     )
     # each partition emits <= Q*k rows, so the single-task merge input is
     # tiny (B_blocks * Q * k); merge='distributed' for very large Q
@@ -55,7 +56,7 @@ def knn_brute(ds, key_col: str, k: int = 5, n_queries: int = 50,
 
 
 def knn_cell(ds, key_col: str, k: int = 5, n_queries: int = 50,
-             n_estimate: int | None = None, concurrency=(1, 8),
+             n_estimate: int | None = None, concurrency=None,
              merge: str = "single"):
     """Exact kNN via cell-range pruning — the 10^12-row path.  Identical
     output to knn_brute; per-batch work is O(candidates) instead of O(N).
@@ -79,6 +80,6 @@ def knn_cell(ds, key_col: str, k: int = 5, n_queries: int = 50,
         },
         batch_format="pyarrow",
         batch_size=262144,
-        concurrency=concurrency,
+        concurrency=concurrency or _default_conc(),
     )
     return merge_partials(partials, k, merge)

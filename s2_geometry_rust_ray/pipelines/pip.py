@@ -9,6 +9,7 @@ from ..geometry import fixtures
 from ..geometry.cap import Cap
 from ..geometry.rect import LatLngRect
 from ..stages import pip as pip_stages
+from ..stages.exchange import default_actor_concurrency as _default_conc
 from ..stages.encode import derive_geotags
 
 
@@ -23,7 +24,7 @@ def standard_polygon_layer():
     return layer
 
 
-def shape_index_pip_join(ds, key_col: str, layer=None, concurrency=(1, 4),
+def shape_index_pip_join(ds, key_col: str, layer=None, concurrency=None,
                          batch_size: int = 8192):
     """PIP join computed through the MutableShapeIndex point-location path
     (geometry/shape_index.py) — a THIRD independent implementation of the
@@ -91,7 +92,7 @@ def shape_index_pip_join(ds, key_col: str, layer=None, concurrency=(1, 4),
         fn_constructor_kwargs={"layer": ray.put(layer) if ray.is_initialized() else layer},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or _default_conc(),
     )
 
 
@@ -138,7 +139,7 @@ class _GeotagEncodePIPJoin:
         return out
 
 
-def pip_join(ds, key_col: str, layer=None, mode: str = "inner", concurrency=(1, 8)):
+def pip_join(ds, key_col: str, layer=None, mode: str = "inner", concurrency=None):
     """Broadcast PIP join: one fused geotag+encode+join actor-pool stage.
 
     At scale `concurrency` is sized to the cluster; the layer rides the
@@ -153,7 +154,7 @@ def pip_join(ds, key_col: str, layer=None, mode: str = "inner", concurrency=(1, 
                                "mode": mode},
         batch_format="pyarrow",
         batch_size=32768,
-        concurrency=concurrency,
+        concurrency=concurrency or _default_conc(),
     )
 
 
@@ -177,7 +178,7 @@ def standard_routes():
 
 
 def route_buffer_join(ds, key_col: str, routes=None, radius_deg: float = 0.75,
-                      concurrency=(1, 8)):
+                      concurrency=None):
     """Points within `radius_deg` of each route polyline — the
     'images within r of route' join (stages/distance.RouteBufferJoin)."""
     import math
@@ -199,7 +200,7 @@ def route_buffer_join(ds, key_col: str, routes=None, radius_deg: float = 0.75,
         fn_constructor_kwargs={"prepared": prepared, "key_col": key_col},
         batch_format="pyarrow",
         batch_size=32768,
-        concurrency=concurrency,
+        concurrency=concurrency or _default_conc(),
     )
 
 
@@ -219,7 +220,7 @@ def boolean_fixture_polys():
     return sq(40.4, -74.3, 40.8, -73.9), sq(40.6, -74.1, 41.1, -73.7)
 
 
-def boolean_pip_join(ds, key_col: str, concurrency=(1, 8)):
+def boolean_pip_join(ds, key_col: str, concurrency=None):
     """PIP join against CLIPPED boolean products of the fixture squares:
     the engine geometrically clips union/intersection/difference
     (geometry/boolean.py) and joins points against the RESULT polygons;
@@ -238,7 +239,7 @@ def boolean_pip_join(ds, key_col: str, concurrency=(1, 8)):
 
 
 def within_distance_join(ds, key_col: str, layer=None, radius_deg: float = 1.5,
-                         concurrency=(1, 8)):
+                         concurrency=None):
     """Buffered region join: (key, polygon_id) for points within
     `radius_deg` of each polygon (inside or near the boundary).  Broadcast
     actor pool over radius-expanded coverings; see stages/distance.py."""
@@ -261,7 +262,7 @@ def within_distance_join(ds, key_col: str, layer=None, radius_deg: float = 1.5,
         fn_constructor_kwargs={"prepared": prepared, "key_col": key_col},
         batch_format="pyarrow",
         batch_size=32768,
-        concurrency=concurrency,
+        concurrency=concurrency or _default_conc(),
     )
 
 

@@ -59,6 +59,24 @@ def default_num_parts(min_parts: int = 8, per_cpu: int = 2) -> int:
     return max(min_parts, per_cpu * cpus)
 
 
+def default_actor_concurrency(frac: float = 0.5, min_actors: int = 2) -> int:
+    """FIXED actor-pool size for broadcast stages: half the cluster's CPUs
+    (the other half keeps upstream task-pool stages fed).  Fixed beats
+    autoscaling (1, N) ~2x on short jobs — the lazy ramp from one actor
+    dominates wall time (measured: pip_join 4.7 s -> 2.4 s at sf0.1) —
+    while capping at a fraction of the cluster avoids the round-1 failure
+    mode where a full-width fixed pool starved the source stage."""
+    import ray
+
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    else:
+        import os
+
+        cpus = os.cpu_count() or 4
+    return max(min_actors, int(cpus * frac))
+
+
 def _hash_keys(k: np.ndarray) -> np.ndarray:
     """uint64 hash of a key array, deterministic across processes."""
     if k.dtype.kind in "iu":

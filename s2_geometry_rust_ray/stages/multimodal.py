@@ -21,6 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..sources.images import decode_png
+from .exchange import default_actor_concurrency as _default_conc
 
 
 def _decode(fmt: str, blob: bytes) -> np.ndarray:
@@ -90,13 +91,13 @@ class Resize:
         return batch.append_column("bytes_resized", pa.array(out, pa.binary()))
 
 
-def image_features(ds, concurrency=(1, 8), batch_size: int = 1024):
+def image_features(ds, concurrency=None, batch_size: int = 1024):
     """Feature-extraction pipeline (small batches: wide payload rows)."""
     return ds.map_batches(
         ImageFeatures,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or _default_conc(),
     )
 
 
@@ -134,10 +135,10 @@ class PhashRecompute:
         return pa.table({"image_id": batch["image_id"], "phash": out})
 
 
-def phash_recompute(ds, concurrency=(1, 8), batch_size: int = 1024):
+def phash_recompute(ds, concurrency=None, batch_size: int = 1024):
     return ds.map_batches(
         PhashRecompute,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or _default_conc(),
     )

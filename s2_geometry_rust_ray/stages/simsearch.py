@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .exchange import default_actor_concurrency as _default_conc
+
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -105,14 +107,14 @@ def _merge_partials(partials, k: int, merge: str):
 
 
 def ann_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
-             concurrency=(1, 8), merge: str = "single"):
+             concurrency=None, merge: str = "single"):
     """Brute-force cosine top-k pipeline (baseline)."""
     partials = ds.map_batches(
         BruteCosineTopK,
         fn_constructor_kwargs={"queries": queries, "query_ids": query_ids, "k": k},
         batch_format="pyarrow",
         batch_size=65536,
-        concurrency=concurrency,
+        concurrency=concurrency or _default_conc(),
     )
     return _merge_partials(partials, k, merge)
 
@@ -169,7 +171,7 @@ def merge_topk_int(batch: pa.Table, k: int) -> pa.Table:
 
 
 def ann_topk_q15(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
-                 concurrency=(1, 8), merge: str = "single"):
+                 concurrency=None, merge: str = "single"):
     """Quantized fixed-point ANN top-k — hash-exact oracle-checkable
     (integer dots are order-free; ties broken by vec_id ascending)."""
     partials = ds.map_batches(
@@ -177,7 +179,7 @@ def ann_topk_q15(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
         fn_constructor_kwargs={"queries": queries, "query_ids": query_ids, "k": k},
         batch_format="pyarrow",
         batch_size=65536,
-        concurrency=concurrency,
+        concurrency=concurrency or _default_conc(),
     )
     from . import exchange
 
@@ -223,7 +225,7 @@ class IVFAssign:
 
 
 def ann_topk_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, centroids,
-                 k: int = 10, nprobe: int = 4, concurrency=(1, 8),
+                 k: int = 10, nprobe: int = 4, concurrency=None,
                  merge: str = "single"):
     """IVF-pruned cosine top-k: scan only batches' rows whose bucket is in
     each query's nprobe nearest buckets.  Approximate (standard IVF recall
@@ -271,7 +273,7 @@ def ann_topk_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, centroids,
                                "centroids": cent, "probe": probe},
         batch_format="pyarrow",
         batch_size=65536,
-        concurrency=concurrency,
+        concurrency=concurrency or _default_conc(),
     )
     return _merge_partials(partials, k, merge)
 
