@@ -74,7 +74,9 @@ def default_actor_concurrency(frac: float = 0.5, min_actors: int = 2) -> int:
         import os
 
         cpus = os.cpu_count() or 4
-    return max(min_actors, int(cpus * frac))
+    # never exceed the cluster (a fixed pool larger than the CPU count
+    # would wait for slots forever on tiny sessions)
+    return max(1, min(cpus, max(min_actors, int(cpus * frac))))
 
 
 def _hash_keys(k: np.ndarray) -> np.ndarray:
