@@ -36,16 +36,26 @@ def merge_partials(partials, k: int, merge: str = "single"):
     )
 
 
+class _GeotagKnn:
+    """Pipeline-layer fusion: geotag + kNN partial top-k in one actor call
+    (same wrapper-count argument as pip._GeotagEncodePIPJoin)."""
+
+    def __init__(self, stage_cls, key_col: str, **stage_kwargs):
+        self.inner = stage_cls(key_col=key_col, **stage_kwargs)
+        self.key_col = key_col
+
+    def __call__(self, batch):
+        return self.inner(derive_geotags(batch, self.key_col))
+
+
 def knn_brute(ds, key_col: str, k: int = 5, n_queries: int = 50,
               concurrency=None, merge: str = "single"):
     """Exact kNN: (query_id, neighbor, d2, rank) — brute-force baseline."""
     queries = make_queries(n_queries)
-    tagged = ds.map_batches(
-        lambda b: derive_geotags(b, key_col), batch_format="pyarrow"
-    )
-    partials = tagged.map_batches(
-        knn_stages.BruteKnn,
-        fn_constructor_kwargs={"queries": queries, "k": k, "key_col": key_col},
+    partials = ds.map_batches(
+        _GeotagKnn,
+        fn_constructor_kwargs={"stage_cls": knn_stages.BruteKnn,
+                               "key_col": key_col, "queries": queries, "k": k},
         batch_format="pyarrow",
         batch_size=262144,
         concurrency=concurrency or _default_conc(),
@@ -70,13 +80,11 @@ def knn_cell(ds, key_col: str, k: int = 5, n_queries: int = 50,
     if n_estimate is None:
         n_estimate = ds.count()
     rings = knn_stages.build_query_rings(queries, k, n_estimate)
-    tagged = ds.map_batches(
-        lambda b: derive_geotags(b, key_col), batch_format="pyarrow"
-    )
-    partials = tagged.map_batches(
-        knn_stages.CellPrunedKnn,
+    partials = ds.map_batches(
+        _GeotagKnn,
         fn_constructor_kwargs={
-            "queries": queries, "k": k, "rings": rings, "key_col": key_col,
+            "stage_cls": knn_stages.CellPrunedKnn, "key_col": key_col,
+            "queries": queries, "k": k, "rings": rings,
         },
         batch_format="pyarrow",
         batch_size=262144,
