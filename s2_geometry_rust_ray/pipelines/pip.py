@@ -269,20 +269,17 @@ def within_distance_join(ds, key_col: str, layer=None, radius_deg: float = 1.5,
 def cap_join(ds, key_col: str, caps=None):
     if caps is None:
         caps = standard_caps()
-    tagged = ds.map_batches(
-        lambda b: derive_geotags(b, key_col), batch_format="pyarrow"
-    )
-    return tagged.map_batches(
-        lambda b: pip_stages.cap_join(b, caps, key_col), batch_format="pyarrow"
+    # geotag + join fused in one wrapper (task pool: stateless fn)
+    return ds.map_batches(
+        lambda b: pip_stages.cap_join(derive_geotags(b, key_col), caps, key_col),
+        batch_format="pyarrow",
     )
 
 
 def rect_join(ds, key_col: str, rects=None):
     if rects is None:
         rects = standard_rects()
-    tagged = ds.map_batches(
-        lambda b: derive_geotags(b, key_col), batch_format="pyarrow"
-    )
-    return tagged.map_batches(
-        lambda b: pip_stages.rect_join(b, rects, key_col), batch_format="pyarrow"
+    return ds.map_batches(
+        lambda b: pip_stages.rect_join(derive_geotags(b, key_col), rects, key_col),
+        batch_format="pyarrow",
     )
