@@ -41,6 +41,19 @@ import numpy as np
 import pyarrow as pa
 
 
+def _cluster_cpus() -> int:
+    """CPU slots visible to this session (cluster resources when Ray is
+    up, host count otherwise) — the one CPU-detection point shared by the
+    partition-count and actor-pool resolvers."""
+    import ray
+
+    if ray.is_initialized():
+        return int(ray.cluster_resources().get("CPU", 4))
+    import os
+
+    return os.cpu_count() or 4
+
+
 def default_num_parts(min_parts: int = 8, per_cpu: int = 2) -> int:
     """Exchange partition count scaled to the cluster: ~`per_cpu` reduce
     tasks per CPU slot (enough parallelism to keep every slot busy through
@@ -48,35 +61,26 @@ def default_num_parts(min_parts: int = 8, per_cpu: int = 2) -> int:
     ``num_parts=None`` resolve it here at call time, so the same code runs
     right on a 4-cpu test session and a 1024-cpu cluster — fixed defaults
     were the round-2 scaling gap (VERDICT r2 #6)."""
-    import ray
-
-    if ray.is_initialized():
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    else:
-        import os
-
-        cpus = os.cpu_count() or 4
-    return max(min_parts, per_cpu * cpus)
+    return max(min_parts, per_cpu * _cluster_cpus())
 
 
-def default_actor_concurrency(frac: float = 0.5, min_actors: int = 2) -> int:
-    """FIXED actor-pool size for broadcast stages: half the cluster's CPUs
-    (the other half keeps upstream task-pool stages fed).  Fixed beats
-    autoscaling (1, N) ~2x on short jobs — the lazy ramp from one actor
-    dominates wall time (measured: pip_join 4.7 s -> 2.4 s at sf0.1) —
-    while capping at a fraction of the cluster avoids the round-1 failure
-    mode where a full-width fixed pool starved the source stage."""
-    import ray
+def default_actor_concurrency(frac: float = 0.85, min_actors: int = 2) -> int:
+    """FIXED actor-pool size for broadcast stages.
 
-    if ray.is_initialized():
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    else:
-        import os
-
-        cpus = os.cpu_count() or 4
-    # never exceed the cluster (a fixed pool larger than the CPU count
-    # would wait for slots forever on tiny sessions)
-    return max(1, min(cpus, max(min_actors, int(cpus * frac))))
+    Fixed beats autoscaling (1, N) ~2x on short jobs — the lazy ramp from
+    one actor dominates wall time (measured: pip_join 4.7 s -> 2.4 s at
+    sf0.1).  Since the heavy upstream map fuses INTO the actor operator,
+    the pool takes most of the cluster (frac=0.85; compute-bound kNN went
+    7.4 s at half-width -> 4.7 s near-full) — but NEVER all of it: Ray
+    leaves the SOURCE operator (ReadRange/read_parquet) outside the fused
+    operator, and a full-width fixed pool reserves every slot so the
+    source can never schedule — a hard deadlock on 1-2-cpu sessions
+    (reproduced), source starvation beyond that.  Cap: cpus-1 on tiny
+    sessions, cpus-2 above 4 cpus (one slot for the source, one for
+    system/merge tasks)."""
+    cpus = _cluster_cpus()
+    cap = max(1, cpus - (1 if cpus <= 4 else 2))
+    return max(1, min(cap, max(min_actors, int(cpus * frac))))
 
 
 def _hash_keys(k: np.ndarray) -> np.ndarray:
