@@ -115,6 +115,20 @@ def standard_rects() -> dict[str, LatLngRect]:
     }
 
 
+class _GeotagEncodeStage:
+    """Generic pipeline-layer fusion: geotag_and_encode + any broadcast
+    stage actor in one wrapper (same argument as _GeotagEncodePIPJoin)."""
+
+    def __init__(self, stage_cls, key_col: str, **stage_kwargs):
+        from ..stages.encode import geotag_and_encode
+
+        self.inner = stage_cls(key_col=key_col, **stage_kwargs)
+        self.enc = geotag_and_encode(key_col)
+
+    def __call__(self, batch):
+        return self.inner(self.enc(batch))
+
+
 class _GeotagEncodePIPJoin:
     """Pipeline-layer fusion: geotag + encode + PIP join in ONE actor
     call — one wrapper layer fewer per batch than a separate geotag stage
@@ -192,12 +206,10 @@ def route_buffer_join(ds, key_col: str, routes=None, radius_deg: float = 0.75,
     radius_rad = math.radians(radius_deg)
     chord2 = chord2_from_radians(radius_rad)
     prepared = dist_stages.prepare_polyline_layer(routes, radius_rad, chord2)
-    tagged = ds.map_batches(
-        geotag_and_encode(key_col), batch_format="pyarrow", batch_size=32768
-    )
-    return tagged.map_batches(
-        dist_stages.RouteBufferJoin,
-        fn_constructor_kwargs={"prepared": prepared, "key_col": key_col},
+    return ds.map_batches(
+        _GeotagEncodeStage,
+        fn_constructor_kwargs={"stage_cls": dist_stages.RouteBufferJoin,
+                               "key_col": key_col, "prepared": prepared},
         batch_format="pyarrow",
         batch_size=32768,
         concurrency=concurrency or _default_conc(),
@@ -254,12 +266,10 @@ def within_distance_join(ds, key_col: str, layer=None, radius_deg: float = 1.5,
     radius_rad = math.radians(radius_deg)
     chord2 = chord2_from_radians(radius_rad)
     prepared = dist_stages.prepare_distance_layer(layer, radius_rad, chord2)
-    tagged = ds.map_batches(
-        geotag_and_encode(key_col), batch_format="pyarrow", batch_size=32768
-    )
-    return tagged.map_batches(
-        dist_stages.WithinDistanceJoin,
-        fn_constructor_kwargs={"prepared": prepared, "key_col": key_col},
+    return ds.map_batches(
+        _GeotagEncodeStage,
+        fn_constructor_kwargs={"stage_cls": dist_stages.WithinDistanceJoin,
+                               "key_col": key_col, "prepared": prepared},
         batch_format="pyarrow",
         batch_size=32768,
         concurrency=concurrency or _default_conc(),
