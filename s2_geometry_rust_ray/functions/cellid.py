@@ -124,8 +124,25 @@ def from_xyz(x, y, z):
     return from_face_ij(face, i, j)
 
 
+_ENC_CHUNK = 16384  # cache-resident slice: the encode's ~20 n-row float64
+# temporaries stream ~160B/row through DRAM; at 131k-row batches 32
+# concurrent workers hit the DRAM wall (same effect measured 18x on the
+# wider h3 kernel, 1.5x here).  Chunking is output-identical (all per-row).
+
+
 def from_latlng_deg(lat_deg, lng_deg):
     """(lat,lng) degrees -> leaf cell id — the core indexing kernel (§3.1)."""
+    lat_deg = np.asarray(lat_deg, dtype=np.float64)
+    lng_deg = np.asarray(lng_deg, dtype=np.float64)
+    if lat_deg.ndim == 1 and lat_deg.shape[0] > _ENC_CHUNK:
+        return np.concatenate(
+            [
+                from_latlng_deg(
+                    lat_deg[i : i + _ENC_CHUNK], lng_deg[i : i + _ENC_CHUNK]
+                )
+                for i in range(0, lat_deg.shape[0], _ENC_CHUNK)
+            ]
+        )
     x, y, z = coords.latlng_deg_to_xyz(lat_deg, lng_deg)
     return from_xyz(x, y, z)
 
