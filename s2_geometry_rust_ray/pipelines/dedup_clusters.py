@@ -12,8 +12,9 @@ fully distributed):
   labels_{t+1}[v] = min(labels_t[v], min over edges (u,v) of labels_t[u])
 
 Every round is one hash-partitioned equi-join (edges x labels, co-located
-by u — stages/exchange.hash_join) plus one sort-exchange min-reduce
-(stages/agg.reduce_by_key).  Labels are monotone non-increasing, so
+by u — stages/exchange.hash_join) plus one hash-exchange min-reduce
+(stages/agg.reduce_by_key final='hash' — exactly one row per doc_id, which
+the label-sum certificate below depends on).  Labels are monotone non-increasing, so
 sum(labels) is a convergence certificate: the loop stops the first round
 the sum is unchanged (no label moved).  Rounds needed = graph diameter —
 near-dup components are duplicate clusters, diameter O(1)-ish in practice;
@@ -90,8 +91,13 @@ def dedup_clusters(ids_ds, pairs_ds, id_col: str = "doc_id",
             edge_parts, label_parts, join_part
         )
         merged = labels.union(cand_v)
+        # final='hash': the per-round reduce must yield exactly ONE row per
+        # doc_id — a range-sort final can split an oversized partition at
+        # arbitrary rows and return a straddling key as two partial-min
+        # rows, silently corrupting both the label-sum convergence
+        # certificate and the returned labels (ADVICE r3)
         labels = agg.reduce_by_key(
-            merged, id_col, {"label": "min"}, final="sorted"
+            merged, id_col, {"label": "min"}, final="hash"
         ).materialize()
         cur = label_sum(labels)
         if cur == prev_sum:  # labels monotone: unchanged sum == fixpoint

@@ -21,7 +21,7 @@ import pyarrow as pa
 
 from ..functions import cellid
 from ..stages.encode import encode_cells
-from ..stages.exchange import default_actor_concurrency as _default_conc
+from ..stages.exchange import actor_map as _actor_map
 from . import tiling
 
 
@@ -66,12 +66,12 @@ def image_pip_join(images_dir: str, layer=None, mode: str = "inner",
         layer = standard_polygon_layer()
     prepared = pip_stages.prepare_layer(layer)
     ds = geometry_view(images_dir)
-    return ds.map_batches(
+    return _actor_map(
+        ds,
         pip_stages.PIPJoin,
         fn_constructor_kwargs={"layer": prepared, "key_col": "image_id", "mode": mode},
-        batch_format="pyarrow",
         batch_size=65536,
-        concurrency=concurrency or _default_conc(),
+        concurrency=concurrency,
     )
 
 

@@ -11,7 +11,7 @@ import numpy as np
 from ..functions import geo
 from ..functions.coords import latlng_deg_to_xyz
 from ..stages import knn as knn_stages
-from ..stages.exchange import default_actor_concurrency as _default_conc
+from ..stages.exchange import actor_map as _actor_map
 from ..stages.encode import derive_geotags
 
 QUERY_KEY_BASE = 900_000_000  # query keys live far above any row key
@@ -52,13 +52,13 @@ def knn_brute(ds, key_col: str, k: int = 5, n_queries: int = 50,
               concurrency=None, merge: str = "single"):
     """Exact kNN: (query_id, neighbor, d2, rank) — brute-force baseline."""
     queries = make_queries(n_queries)
-    partials = ds.map_batches(
+    partials = _actor_map(
+        ds,
         _GeotagKnn,
         fn_constructor_kwargs={"stage_cls": knn_stages.BruteKnn,
                                "key_col": key_col, "queries": queries, "k": k},
-        batch_format="pyarrow",
         batch_size=262144,
-        concurrency=concurrency or _default_conc(),
+        concurrency=concurrency,
     )
     # each partition emits <= Q*k rows, so the single-task merge input is
     # tiny (B_blocks * Q * k); merge='distributed' for very large Q
@@ -80,14 +80,14 @@ def knn_cell(ds, key_col: str, k: int = 5, n_queries: int = 50,
     if n_estimate is None:
         n_estimate = ds.count()
     rings = knn_stages.build_query_rings(queries, k, n_estimate)
-    partials = ds.map_batches(
+    partials = _actor_map(
+        ds,
         _GeotagKnn,
         fn_constructor_kwargs={
             "stage_cls": knn_stages.CellPrunedKnn, "key_col": key_col,
             "queries": queries, "k": k, "rings": rings,
         },
-        batch_format="pyarrow",
         batch_size=262144,
-        concurrency=concurrency or _default_conc(),
+        concurrency=concurrency,
     )
     return merge_partials(partials, k, merge)

@@ -9,7 +9,7 @@ from ..geometry import fixtures
 from ..geometry.cap import Cap
 from ..geometry.rect import LatLngRect
 from ..stages import pip as pip_stages
-from ..stages.exchange import default_actor_concurrency as _default_conc
+from ..stages.exchange import actor_map as _actor_map
 from ..stages.encode import derive_geotags
 
 
@@ -87,12 +87,12 @@ def shape_index_pip_join(ds, key_col: str, layer=None, concurrency=None,
         lambda b: derive_geotags(b, key_col), batch_format="pyarrow",
         batch_size=batch_size,
     )
-    return tagged.map_batches(
+    return _actor_map(
+        tagged,
         ShapeIndexPIP,
         fn_constructor_kwargs={"layer": ray.put(layer) if ray.is_initialized() else layer},
-        batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or _default_conc(),
+        concurrency=concurrency,
     )
 
 
@@ -162,13 +162,13 @@ def pip_join(ds, key_col: str, layer=None, mode: str = "inner", concurrency=None
     if layer is None:
         layer = standard_polygon_layer()
     prepared = pip_stages.prepare_layer(layer)  # coverer runs ONCE, driver-side
-    return ds.map_batches(
+    return _actor_map(
+        ds,
         _GeotagEncodePIPJoin,
         fn_constructor_kwargs={"layer": prepared, "key_col": key_col,
                                "mode": mode},
-        batch_format="pyarrow",
         batch_size=32768,
-        concurrency=concurrency or _default_conc(),
+        concurrency=concurrency,
     )
 
 
@@ -206,13 +206,13 @@ def route_buffer_join(ds, key_col: str, routes=None, radius_deg: float = 0.75,
     radius_rad = math.radians(radius_deg)
     chord2 = chord2_from_radians(radius_rad)
     prepared = dist_stages.prepare_polyline_layer(routes, radius_rad, chord2)
-    return ds.map_batches(
+    return _actor_map(
+        ds,
         _GeotagEncodeStage,
         fn_constructor_kwargs={"stage_cls": dist_stages.RouteBufferJoin,
                                "key_col": key_col, "prepared": prepared},
-        batch_format="pyarrow",
         batch_size=32768,
-        concurrency=concurrency or _default_conc(),
+        concurrency=concurrency,
     )
 
 
@@ -266,13 +266,13 @@ def within_distance_join(ds, key_col: str, layer=None, radius_deg: float = 1.5,
     radius_rad = math.radians(radius_deg)
     chord2 = chord2_from_radians(radius_rad)
     prepared = dist_stages.prepare_distance_layer(layer, radius_rad, chord2)
-    return ds.map_batches(
+    return _actor_map(
+        ds,
         _GeotagEncodeStage,
         fn_constructor_kwargs={"stage_cls": dist_stages.WithinDistanceJoin,
                                "key_col": key_col, "prepared": prepared},
-        batch_format="pyarrow",
         batch_size=32768,
-        concurrency=concurrency or _default_conc(),
+        concurrency=concurrency,
     )
 
 

@@ -106,9 +106,23 @@ def reduce_by_key(
 ):
     """Distributed grouped reduce with per-column ops ('sum'/'min'/'max').
     Same sort-exchange plan as sum_by_key; all three ops are re-reducible
-    so partial combine -> sort -> block reduce -> boundary merge is exact."""
+    so partial combine -> sort -> block reduce -> boundary merge is exact.
+
+    `final='hash'`: hash exchange + per-partition reduce instead of the
+    second sort round.  Unlike a range sort (whose oversized partitions
+    split at ARBITRARY rows, so a straddling key can come back as two
+    partial rows), hash partitioning co-locates every key exactly —
+    guaranteed ONE row per key.  Use it whenever the consumer counts or
+    sums the reduced rows directly (e.g. a convergence certificate)."""
     reduce_fn = _reduce_block(key_col, spec)
     partials = ds.map_batches(reduce_fn, batch_format="pyarrow", batch_size=batch_size)
+    if final == "hash":
+        from . import exchange
+
+        parts = exchange.hash_exchange(
+            partials, key_col, exchange.default_num_parts()
+        )
+        return exchange.partitions_to_dataset(parts, reduce_fn)
     first = partials.sort(key_col).map_batches(
         reduce_fn, batch_format="pyarrow", batch_size=None
     )
@@ -232,23 +246,67 @@ def distinct_count_by_key(ds, key_col: str, distinct_col: str,
 
     Plan: per-block (key, value) dedup (combine), sort-exchange on the
     key, per-block pair dedup + boundary-safe final count in one bounded
-    task (pair cardinality = sum of per-key distinct counts)."""
+    task (pair cardinality = sum of per-key distinct counts).
+
+    NULL semantics match SQL exactly: COUNT(DISTINCT) ignores NULL values,
+    but a key whose values are ALL null still appears (n_distinct = 0) —
+    GROUP BY keeps the group.  Nulls aren't dropped up front (that erased
+    all-null keys entirely, ADVICE r3); instead validity travels as an
+    explicit `v_ok` column (null values filled with a type-appropriate
+    filler so the value array stays its native dtype — an int column with
+    nulls would otherwise decay to float NaN, whose NaN != NaN also
+    defeats the != dedup mask), every all-null row collapses to one
+    (key, filler, False) sentinel per key per block, and the finalizer
+    counts only v_ok rows."""
 
     import pyarrow.compute as pc
 
+    # resolve the value type ONCE driver-side: a block whose values are all
+    # null carries arrow type `null` (no filler constructible, and emitted
+    # partials would disagree on schema); cast such blocks to the dataset
+    # type.  fetch_if_missing executes at most the first block's task chain.
+    sch = ds.schema(fetch_if_missing=True)
+    arrow_sch = getattr(sch, "base_schema", sch)
+    if hasattr(arrow_sch, "field"):
+        vtype = arrow_sch.field(distinct_col).type
+    else:  # PandasBlockSchema: parallel name/dtype lists (may be pandas
+        # extension dtypes like StringDtype — infer via an empty Series)
+        import pandas as pd
+
+        np_dtype = dict(zip(arrow_sch.names, arrow_sch.types))[distinct_col]
+        vtype = pa.Array.from_pandas(pd.Series([], dtype=np_dtype)).type
+    if pa.types.is_null(vtype):
+        vtype = pa.int64()  # the whole column is null: any type works
+
+    def _filler(t: pa.DataType):
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return ""
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return b""
+        return 0
+
     def pair_dedup(batch: pa.Table) -> pa.Table:
-        # SQL COUNT(DISTINCT) ignores NULLs: drop them up front (a NaN
-        # value would also defeat the != dedup mask — NaN != NaN)
-        batch = batch.filter(pc.is_valid(batch[distinct_col]))
+        if "v_ok" in batch.column_names:
+            ok = batch["v_ok"].to_numpy(zero_copy_only=False)
+            v = batch[distinct_col].to_numpy(zero_copy_only=False)
+        else:
+            col = batch[distinct_col]
+            if pa.types.is_null(col.type):
+                col = col.cast(vtype)
+            ok = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            v = pc.fill_null(col, _filler(col.type)).to_numpy(
+                zero_copy_only=False
+            )
         if batch.num_rows == 0:
-            return batch.select([key_col, distinct_col])
+            return pa.table({key_col: batch[key_col], distinct_col: v,
+                             "v_ok": pa.array(ok, pa.bool_())})
         k = batch[key_col].to_numpy(zero_copy_only=False)
-        v = batch[distinct_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((v, k))
-        k, v = k[order], v[order]
+        order = np.lexsort((v, ok, k))
+        k, v, ok = k[order], v[order], ok[order]
         keep = np.ones(len(k), dtype=bool)
-        keep[1:] = (k[1:] != k[:-1]) | (v[1:] != v[:-1])
-        return pa.table({key_col: k[keep], distinct_col: v[keep]})
+        keep[1:] = (k[1:] != k[:-1]) | (ok[1:] != ok[:-1]) | (v[1:] != v[:-1])
+        return pa.table({key_col: k[keep], distinct_col: v[keep],
+                         "v_ok": pa.array(ok[keep], pa.bool_())})
 
     def count_final(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -256,8 +314,10 @@ def distinct_count_by_key(ds, key_col: str, distinct_col: str,
                              out_col: pa.array([], pa.int64())})
         t = pair_dedup(batch)
         k = t[key_col].to_numpy(zero_copy_only=False)
-        uk, counts = np.unique(k, return_counts=True)
-        return pa.table({key_col: uk, out_col: counts.astype(np.int64)})
+        ok = t["v_ok"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        counts = np.bincount(inv, weights=ok).astype(np.int64)
+        return pa.table({key_col: uk, out_col: counts})
 
     partials = ds.map_batches(pair_dedup, batch_format="pyarrow")
     if final == "single":

@@ -83,6 +83,44 @@ def default_actor_concurrency(frac: float = 0.85, min_actors: int = 2) -> int:
     return max(1, min(cap, max(min_actors, int(cpus * frac))))
 
 
+def actor_map(ds, cls, *, fn_constructor_kwargs=None, batch_format="pyarrow",
+              batch_size=None, concurrency=None, **mb_kwargs):
+    """map_batches with a stateful callable class on a fixed actor pool —
+    EXCEPT on a 1-cpu session, where ANY fixed pool (even size 1) reserves
+    the only slot and the un-fused source operator can never schedule: a
+    hard deadlock (ADVICE r3).  There the class runs as a stateless
+    task-pool map instead, constructed once per worker process (the
+    closure cache below survives across tasks in the same worker — same
+    amortization as an actor, minus the reservation)."""
+    if _cluster_cpus() <= 1:
+        import ray
+
+        kw = dict(fn_constructor_kwargs or {})
+        cache: dict = {}
+
+        def fn(batch):
+            if "inst" not in cache:
+                cache["inst"] = cls(
+                    **{
+                        k: (ray.get(v) if isinstance(v, ray.ObjectRef) else v)
+                        for k, v in kw.items()
+                    }
+                )
+            return cache["inst"](batch)
+
+        return ds.map_batches(
+            fn, batch_format=batch_format, batch_size=batch_size, **mb_kwargs
+        )
+    return ds.map_batches(
+        cls,
+        fn_constructor_kwargs=fn_constructor_kwargs,
+        batch_format=batch_format,
+        batch_size=batch_size,
+        concurrency=concurrency or default_actor_concurrency(),
+        **mb_kwargs,
+    )
+
+
 def _hash_keys(k: np.ndarray) -> np.ndarray:
     """uint64 hash of a key array, deterministic across processes."""
     if k.dtype.kind in "iu":

@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..sources.images import decode_png
-from .exchange import default_actor_concurrency as _default_conc
+from .exchange import actor_map as _actor_map
 
 
 def _decode(fmt: str, blob: bytes) -> np.ndarray:
@@ -93,11 +93,11 @@ class Resize:
 
 def image_features(ds, concurrency=None, batch_size: int = 1024):
     """Feature-extraction pipeline (small batches: wide payload rows)."""
-    return ds.map_batches(
+    return _actor_map(
+        ds,
         ImageFeatures,
-        batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or _default_conc(),
+        concurrency=concurrency,
     )
 
 
@@ -136,9 +136,9 @@ class PhashRecompute:
 
 
 def phash_recompute(ds, concurrency=None, batch_size: int = 1024):
-    return ds.map_batches(
+    return _actor_map(
+        ds,
         PhashRecompute,
-        batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or _default_conc(),
+        concurrency=concurrency,
     )

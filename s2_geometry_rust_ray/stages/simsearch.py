@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .exchange import default_actor_concurrency as _default_conc
+from .exchange import actor_map as _actor_map
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -109,12 +109,12 @@ def _merge_partials(partials, k: int, merge: str):
 def ann_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
              concurrency=None, merge: str = "single"):
     """Brute-force cosine top-k pipeline (baseline)."""
-    partials = ds.map_batches(
+    partials = _actor_map(
+        ds,
         BruteCosineTopK,
         fn_constructor_kwargs={"queries": queries, "query_ids": query_ids, "k": k},
-        batch_format="pyarrow",
         batch_size=65536,
-        concurrency=concurrency or _default_conc(),
+        concurrency=concurrency,
     )
     return _merge_partials(partials, k, merge)
 
@@ -174,12 +174,12 @@ def ann_topk_q15(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
                  concurrency=None, merge: str = "single"):
     """Quantized fixed-point ANN top-k — hash-exact oracle-checkable
     (integer dots are order-free; ties broken by vec_id ascending)."""
-    partials = ds.map_batches(
+    partials = _actor_map(
+        ds,
         Q15TopK,
         fn_constructor_kwargs={"queries": queries, "query_ids": query_ids, "k": k},
-        batch_format="pyarrow",
         batch_size=65536,
-        concurrency=concurrency or _default_conc(),
+        concurrency=concurrency,
     )
     from . import exchange
 
@@ -267,13 +267,13 @@ def ann_topk_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, centroids,
                  "cosine": np.concatenate(out_s)}
             )
 
-    partials = ds.map_batches(
+    partials = _actor_map(
+        ds,
         IVFTopK,
         fn_constructor_kwargs={"queries": queries, "query_ids": query_ids, "k": k,
                                "centroids": cent, "probe": probe},
-        batch_format="pyarrow",
         batch_size=65536,
-        concurrency=concurrency or _default_conc(),
+        concurrency=concurrency,
     )
     return _merge_partials(partials, k, merge)
 

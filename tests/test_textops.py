@@ -445,3 +445,51 @@ def test_dedup_clusters_chain_convergence(ray_session):
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     want = [0, 0, 0, 0, 0, 5, 5, 5, 8, 8, 10, 11]
     assert out["cluster_id"].tolist() == want
+
+
+def test_distinct_count_all_null_groups(ray_session):
+    """A key whose distinct-col values are ALL null must still appear with
+    n_distinct = 0 (SQL GROUP BY keeps the group; COUNT(DISTINCT) ignores
+    nulls) — ADVICE r3.  Mixed-null keys count only non-null values."""
+    import pandas as pd
+    import ray.data
+
+    from s2_geometry_rust_ray.stages import agg
+
+    df = pd.DataFrame({
+        "k": [1, 1, 2, 2, 3, 3, 3],
+        "v": pd.array([10, 10, None, None, 7, None, 8], dtype="Int64"),
+    })
+    ds = ray.data.from_pandas(df).repartition(3)
+    for final in ("single", "sorted"):
+        out = agg.distinct_count_by_key(ds, "k", "v", final=final).to_pandas()
+        got = dict(zip(out["k"], out["n_distinct"]))
+        assert got == {1: 1, 2: 0, 3: 2}, (final, got)
+    # string distinct col with an all-null group
+    df2 = pd.DataFrame({
+        "k": [1, 2, 2], "v": pd.array(["x", None, None], dtype="string"),
+    })
+    ds2 = ray.data.from_pandas(df2).repartition(2)
+    out2 = agg.distinct_count_by_key(ds2, "k", "v", final="sorted").to_pandas()
+    assert dict(zip(out2["k"], out2["n_distinct"])) == {1: 1, 2: 0}
+
+
+def test_reduce_by_key_hash_final_one_row_per_key(ray_session):
+    """final='hash' must return exactly one row per key (the dedup_clusters
+    convergence certificate depends on it) and equal the single-task final."""
+    import pandas as pd
+    import ray.data
+
+    from s2_geometry_rust_ray.stages import agg
+
+    rng = np.random.default_rng(4)
+    n = 20000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 500, n),
+        "x": rng.integers(-1000, 1000, n),
+    })
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = agg.reduce_by_key(ds, "k", {"x": "min"}, final="hash").to_pandas()
+    assert out["k"].is_unique and len(out) == df["k"].nunique()
+    want = df.groupby("k")["x"].min()
+    assert dict(zip(out["k"], out["x"])) == want.to_dict()
