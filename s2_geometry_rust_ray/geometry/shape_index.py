@@ -191,6 +191,20 @@ class MutableShapeIndex:
             self._levels = sorted(set(cellid.level(cids).tolist()))
         else:
             self._levels = []
+        # batch point-location structure: per level, the distinct index
+        # cells at that level sorted by int64 sort key (searchsorted
+        # membership — O(log cells) per point per level, fully vectorized)
+        self._level_keys = {}
+        self._level_cells = {}
+        if rows:
+            lvls = cellid.level(np.unique(cids))
+            ucells = np.unique(cids)
+            for lvl in self._levels:
+                cells = ucells[lvls == lvl]
+                keys = cellid.to_sort_key(cells)
+                order = np.argsort(keys)
+                self._level_keys[int(lvl)] = keys[order]
+                self._level_cells[int(lvl)] = cells[order]
         return rows
 
     def iterator(self):
@@ -245,6 +259,131 @@ class MutableShapeIndex:
             if group is not None:
                 hits.append((anc, group))
         return hits
+
+    def contains_points(self, pts: np.ndarray):
+        """Batch point location: (m,3) unit points -> (pt_idx, shape_id)
+        int64 arrays of containment pairs, sorted by (pt_idx, shape_id).
+
+        Vectorized form of `contains_point` (same robust semantics, same
+        outputs): leaf cell ids for the whole batch, one searchsorted
+        ancestor probe per index level, then per located (cell, shape)
+        group a triaged crossing-parity kernel of segments
+        (cell_center -> p_i) against the cell's posted edges — the same
+        explicit mul/add determinant form as Loop.contains_points, with
+        the scalar exact predicates as the fallback for (point, edge)
+        pairs whose float triage is inconclusive."""
+        self.build()
+        pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
+        m = len(pts)
+        nsh = len(self.shapes)
+        if m == 0 or not self._levels:
+            z = np.array([], dtype=np.int64)
+            return z, z.copy()
+        leaf = cellid.from_xyz(pts[:, 0], pts[:, 1], pts[:, 2])
+        evaluated = np.zeros((m, nsh), dtype=bool)
+        out_pt: list[np.ndarray] = []
+        out_sid: list[np.ndarray] = []
+        for lvl in self._levels:  # ascending: first located cell wins
+            keys = self._level_keys[int(lvl)]
+            anc_k = cellid.to_sort_key(cellid.parent(leaf, int(lvl)))
+            pos = np.searchsorted(keys, anc_k)
+            pos_c = np.minimum(pos, len(keys) - 1)
+            hit = keys[pos_c] == anc_k
+            if not hit.any():
+                continue
+            hit_idx = np.nonzero(hit)[0]
+            hit_pos = pos_c[hit_idx]
+            order = np.argsort(hit_pos, kind="stable")
+            hit_idx, hit_pos = hit_idx[order], hit_pos[order]
+            starts = np.nonzero(
+                np.r_[True, hit_pos[1:] != hit_pos[:-1]]
+            )[0]
+            bounds = np.r_[starts, len(hit_pos)]
+            cells = self._level_cells[int(lvl)]
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                cid = int(cells[hit_pos[s]])
+                pidx = hit_idx[s:e]
+                center = Cell(cid).center()
+                for sid, edge_ids, contains_center in self._by_cell[cid]:
+                    if self.shapes[sid].dimension != 2:
+                        continue
+                    sel = pidx[~evaluated[pidx, sid]]
+                    if not len(sel):
+                        continue
+                    evaluated[sel, sid] = True
+                    inside = self._parity_batch(
+                        center, pts[sel], self.shapes[sid],
+                        edge_ids, contains_center,
+                    )
+                    if inside.any():
+                        out_pt.append(sel[inside])
+                        out_sid.append(np.full(int(inside.sum()), sid,
+                                               dtype=np.int64))
+        if not out_pt:
+            z = np.array([], dtype=np.int64)
+            return z, z.copy()
+        pt = np.concatenate(out_pt).astype(np.int64)
+        sd = np.concatenate(out_sid)
+        order = np.lexsort((sd, pt))
+        return pt[order], sd[order]
+
+    def _parity_batch(self, center, P, shape, edge_ids, contains_center):
+        """Crossing parity of segments (center -> P_i) against the posted
+        edges `edge_ids` of `shape`: bool (m,).  Triage-certain crossings
+        are summed vectorized; inconclusive (point, edge) pairs re-run
+        through the scalar robust predicate (exact Fraction + SoS tiers),
+        exactly as Loop.contains_points does."""
+        k = len(edge_ids)
+        parity = np.zeros(len(P), dtype=np.int64)
+        if k:
+            ea, eb = shape.edges()
+            a = ea[edge_ids]
+            b = eb[edge_ids]
+            n_e = np.cross(a, b)  # (k,3) un-normalized edge normals
+            # dac[e] = Sign(a_e, b_e, center), robust (never 0)
+            dac = pred.triage_sign(
+                n_e[:, 0] * center[0] + n_e[:, 1] * center[1]
+                + n_e[:, 2] * center[2]
+            )
+            for e in np.nonzero(dac == 0)[0]:
+                dac[e] = pred.sign(a[e], b[e], center)
+            cp = np.cross(np.broadcast_to(center, P.shape), P)  # (m,3)
+            # explicit left-associated mul/adds (not BLAS matmul) — the
+            # TRIAGE_ERROR bound is derived for this evaluation order
+            A1 = (
+                cp[:, 0, None] * a[None, :, 0]
+                + cp[:, 1, None] * a[None, :, 1]
+                + cp[:, 2, None] * a[None, :, 2]
+            )
+            A2 = (
+                cp[:, 0, None] * b[None, :, 0]
+                + cp[:, 1, None] * b[None, :, 1]
+                + cp[:, 2, None] * b[None, :, 2]
+            )
+            B = (
+                P[:, 0, None] * n_e[None, :, 0]
+                + P[:, 1, None] * n_e[None, :, 1]
+                + P[:, 2, None] * n_e[None, :, 2]
+            )
+            sA1, sA2, sB = (pred.triage_sign(A1), pred.triage_sign(A2),
+                            pred.triage_sign(B))
+            acb, bda, cbd = -sA1, sA2, -sB
+            crossing = (
+                (acb == bda) & (acb == cbd) & (acb == dac[None, :])
+                & (acb != 0)
+            )
+            uncertain = (sA1 == 0) | (sA2 == 0) | (sB == 0)
+            parity = (crossing & ~uncertain).sum(axis=1) & 1
+            if uncertain.any():
+                rows, cols = np.nonzero(uncertain)
+                for i, e in zip(rows.tolist(), cols.tolist()):
+                    if np.array_equal(P[i], center):
+                        continue  # degenerate query segment: contributes 0
+                    if pred.edge_or_vertex_crossing(
+                        center, P[i], a[e], b[e]
+                    ):
+                        parity[i] ^= 1
+        return (parity == 1) != contains_center
 
     def contains_point(self, p: np.ndarray) -> set[int]:
         """Shape ids of dim-2 shapes containing p — canonical index point

@@ -25,15 +25,16 @@ def standard_polygon_layer():
 
 
 def shape_index_pip_join(ds, key_col: str, layer=None, concurrency=None,
-                         batch_size: int = 8192):
+                         batch_size: int = 32768):
     """PIP join computed through the MutableShapeIndex point-location path
     (geometry/shape_index.py) — a THIRD independent implementation of the
     same join (broadcast PIPJoin actors and the covering-explode shuffle
-    being the other two), sharing the same SQL oracle.  Exists as the
-    parity/API surface for the shape layer; the vectorized broadcast
-    PIPJoin is the hot-path choice at scale (this one walks the robust
-    crossing predicates point-by-point against the located index cell's
-    posted edges).  Output (key_col, polygon_id), identical to pip_join."""
+    being the other two), sharing the same SQL oracle.  Point location is
+    fully batched (MutableShapeIndex.contains_points: leaf ids for the
+    whole batch, searchsorted ancestor probes per index level, vectorized
+    crossing-parity per located cell with the scalar robust predicates
+    only as the uncertain-pair fallback).  Output (key_col, polygon_id),
+    identical to pip_join."""
     from ..functions.coords import latlng_deg_to_xyz as _to_xyz
     from ..geometry import shape_index as si
     from ..geometry.loop import Polygon as _Polygon
@@ -48,6 +49,7 @@ def shape_index_pip_join(ds, key_col: str, layer=None, concurrency=None,
 
             if isinstance(layer, ray.ObjectRef):
                 layer = ray.get(layer)
+            self.geotag = lambda b: derive_geotags(b, key_col)
             # index built ONCE per actor (coverings + postings + seeds)
             self.index = si.MutableShapeIndex(
                 max_cells_per_shape=32, max_level=12
@@ -64,31 +66,26 @@ def shape_index_pip_join(ds, key_col: str, layer=None, concurrency=None,
             self.index.build()
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = self.geotag(batch)  # fused: no separate wrapper stage
             lat = batch["lat"].to_numpy(zero_copy_only=False)
             lng = batch["lng"].to_numpy(zero_copy_only=False)
             x, y, z = _to_xyz(lat, lng)
             pts = np.stack([x, y, z], axis=-1)
             keys = batch[key_col].to_numpy(zero_copy_only=False)
-            out_k, out_p = [], []
-            for i in range(len(keys)):
-                for sid in sorted(self.index.contains_point(pts[i])):
-                    out_k.append(keys[i])
-                    out_p.append(self.pids[sid])
+            pt_idx, sids = self.index.contains_points(pts)
+            pid_arr = np.asarray(self.pids, dtype=object)
             return pa.table(
                 {
-                    key_col: pa.array(out_k, type=batch[key_col].type),
-                    "polygon_id": pa.array(out_p, type=pa.string()),
+                    key_col: pa.array(keys[pt_idx],
+                                      type=batch[key_col].type),
+                    "polygon_id": pa.array(pid_arr[sids], type=pa.string()),
                 }
             )
 
     import ray
 
-    tagged = ds.map_batches(
-        lambda b: derive_geotags(b, key_col), batch_format="pyarrow",
-        batch_size=batch_size,
-    )
     return _actor_map(
-        tagged,
+        ds,
         ShapeIndexPIP,
         fn_constructor_kwargs={"layer": ray.put(layer) if ray.is_initialized() else layer},
         batch_size=batch_size,

@@ -79,3 +79,34 @@ def test_shape_protocol_surface():
     assert np.array_equal(a, b)  # degenerate point edge
     assert sh[pa_id].chains() == [(0, 4)]
     assert sh[pl_id].chains() == [(0, 2)]
+
+
+def test_contains_points_batch_matches_scalar():
+    """The vectorized contains_points must reproduce the scalar
+    contains_point exactly — including boundary-grid points that force
+    the exact-predicate fallback."""
+    idx, pa_id, pb_id, _, _ = _build_index()
+    rng = np.random.default_rng(42)
+    lats = rng.uniform(0, 25, 400)
+    lngs = rng.uniform(10, 35, 400)
+    # add points ON the square edges (lat/lng grid lines) to hit ties
+    edge_lats = np.array([7.0, 13.0, 10.0, 12.0, 14.0, 10.0])
+    edge_lngs = np.array([20.0, 22.0, 17.0, 20.0, 22.0, 23.0])
+    lats = np.concatenate([lats, edge_lats])
+    lngs = np.concatenate([lngs, edge_lngs])
+    pts = _xyz(lats, lngs)
+    pt_idx, sids = idx.contains_points(pts)
+    got = {}
+    for i, s in zip(pt_idx.tolist(), sids.tolist()):
+        got.setdefault(i, set()).add(s)
+    for i in range(len(pts)):
+        assert got.get(i, set()) == idx.contains_point(pts[i]), f"point {i}"
+
+
+def test_contains_points_batch_empty_and_miss():
+    idx, *_ = _build_index()
+    p, s = idx.contains_points(np.zeros((0, 3)))
+    assert len(p) == 0 and len(s) == 0
+    # a point far from every shape
+    p, s = idx.contains_points(_xyz(np.array([-80.0]), np.array([170.0])))
+    assert len(p) == 0
