@@ -139,25 +139,70 @@ def near_dup_pairs(ds, num_hashes: int = 32, band_size: int = 4,
     )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        # per-batch shingle-set memo: pairs are co-located by doc_a, and
-        # boilerplate-heavy corpora repeat the same text across many pairs
-        # — shingle each distinct text once, not once per pair
-        memo: dict[str, set] = {}
+        # vectorized exact-Jaccard: shingle each DISTINCT text once (pairs
+        # are co-located by doc_a and boilerplate corpora repeat texts
+        # across many pairs) into a u64 md5-hash array — same distinct
+        # cardinalities as the raw shingle sets — then count every pair's
+        # intersection in ONE (pair, value) lexsort + adjacent-equal scan
+        # over the whole batch.  No per-pair Python set ops.
+        m = len(batch)
+        if m == 0:
+            return batch.assign(jaccard=np.empty(0))[
+                ["doc_a", "doc_b", "jaccard"]
+            ]
+        texts = np.concatenate(
+            [batch["text_a"].to_numpy(), batch["text_b"].to_numpy()]
+        )
+        codes, uniq = pd.factorize(texts)
+        a_id, b_id = codes[:m], codes[m:]
+        hl = [
+            T.shingle_hashes(str(t), shingle_k, shingle_mode) for t in uniq
+        ]
+        lengths = np.array([len(h) for h in hl], dtype=np.int64)
+        vals = (
+            np.concatenate(hl) if hl else np.array([], dtype=np.uint64)
+        )
+        offsets = np.concatenate(([0], np.cumsum(lengths)))
+        # one computation per distinct TEXT pair, not per row — a hot
+        # boilerplate bucket emits ~n^2/2 rows that all share one text
+        # pair; identical-text pairs are 1.0 by definition (union==0 too)
+        pair_key = a_id.astype(np.int64) * len(uniq) + b_id
+        upairs, uidx = np.unique(pair_key, return_inverse=True)
+        ua = (upairs // len(uniq)).astype(np.int64)
+        ub = (upairs % len(uniq)).astype(np.int64)
+        ja_u = np.ones(len(upairs), dtype=np.float64)
+        ne = np.nonzero(ua != ub)[0]
+        if len(ne):
+            ga, gb = ua[ne], ub[ne]
+            mu = len(ne)
 
-        def sh(t) -> set:
-            t = str(t)
-            s = memo.get(t)
-            if s is None:
-                s = T.shingles(t, shingle_k, shingle_mode)
-                memo[t] = s
-            return s
+            def gather(tid: np.ndarray):
+                # ragged gather: pair index + value slice per pair's text
+                ln = lengths[tid]
+                tot = int(ln.sum())
+                pid = np.repeat(np.arange(mu, dtype=np.int64), ln)
+                starts = np.repeat(offsets[:-1][tid], ln)
+                run0 = np.concatenate(([0], np.cumsum(ln)[:-1]))
+                within = (
+                    np.arange(tot, dtype=np.int64) - np.repeat(run0, ln)
+                )
+                return pid, vals[starts + within]
 
-        ja = np.empty(len(batch), dtype=np.float64)
-        for n, (ta, tb) in enumerate(zip(batch["text_a"], batch["text_b"])):
-            sa, sb = sh(ta), sh(tb)
-            union = len(sa | sb)
-            ja[n] = len(sa & sb) / union if union else 1.0
-        out = batch.assign(jaccard=ja)
+            pa_pid, va = gather(ga)
+            pb_pid, vb = gather(gb)
+            pid_all = np.concatenate([pa_pid, pb_pid])
+            val_all = np.concatenate([va, vb])
+            order = np.lexsort((val_all, pid_all))
+            pid_s, val_s = pid_all[order], val_all[order]
+            eq = (pid_s[1:] == pid_s[:-1]) & (val_s[1:] == val_s[:-1])
+            n_inter = np.bincount(pid_s[:-1][eq], minlength=mu)
+            n_union = lengths[ga] + lengths[gb] - n_inter
+            ja_u[ne] = np.where(
+                n_union > 0,
+                n_inter / np.where(n_union > 0, n_union, 1),
+                1.0,
+            )
+        out = batch.assign(jaccard=ja_u[uidx])
         out = out[out["jaccard"] >= threshold]
         return out[["doc_a", "doc_b", "jaccard"]]
 
