@@ -468,6 +468,8 @@ def sliding_window_counts(ds, window_minutes: int = 60, hop_minutes: int = 15):
     n_hops = window_minutes // hop_minutes
     hop_us = hop_minutes * 60_000_000
 
+    hop_s = hop_minutes * 60
+
     def fn(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
         epoch_us = ts.astype(np.int64)
@@ -478,43 +480,47 @@ def sliding_window_counts(ds, window_minutes: int = 60, hop_minutes: int = 15):
         # containing ts), replicated vectorized
         offs = (np.arange(n_hops, dtype=np.int64) * hop_us)[None, :]
         window_s = ((base[:, None] - offs) // 1_000_000).ravel()
-        et_r = np.repeat(et, n_hops)
-        val_r = np.repeat(val, n_hops)
-        key = (
-            pd.Series(et_r).astype(str) + "|" + pd.Series(window_s).astype(str)
-        ).to_numpy(dtype=object)
-        df = pd.DataFrame(
-            {"key": key, "window_s": window_s,
-             "n": np.ones(len(et_r), dtype=np.int64), "sum_floor_value": val_r}
+        # per-batch EXACT integer composite: factorized event-type code in
+        # the high bits, biased hop index in the low 40 (window_s is
+        # hop-aligned, so window_s // hop_s round-trips; the 2^39 bias
+        # covers pre-1970 timestamps).  No string keys anywhere.
+        bias = np.int64(1 << 39)
+        idx = window_s // hop_s + bias
+        if len(idx) and (idx.min() < 0 or idx.max() >= (1 << 40)):
+            raise ValueError("window hop index out of 40-bit range")
+        codes, uniq = pd.factorize(et)
+        comp = (np.repeat(codes.astype(np.int64), n_hops) << np.int64(40)) | idx
+        order = np.argsort(comp, kind="stable")
+        comp_s = comp[order]
+        starts = np.concatenate(
+            ([0], np.nonzero(comp_s[1:] != comp_s[:-1])[0] + 1)
         )
-        g = df.groupby("key", sort=False)
-        out = g.agg(
-            window_s=("window_s", "first"),
-            n=("n", "sum"),
-            sum_floor_value=("sum_floor_value", "sum"),
-        ).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    partials = ds.map_batches(fn, batch_format="pyarrow")
-    red = agg.reduce_by_key(
-        partials, "key",
-        {"window_s": "min", "n": "sum", "sum_floor_value": "sum"},
-        final="single",
-    )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        keys = batch["key"].to_numpy(zero_copy_only=False)
-        et = np.array([k.rsplit("|", 1)[0] for k in keys], dtype=object)
+        ucomp = comp_s[starts]
+        n = np.diff(np.concatenate((starts, [len(comp_s)])))
+        sv = np.add.reduceat(np.repeat(val, n_hops)[order], starts)
         return pa.table(
             {
-                "event_type": pa.array(et, type=pa.string()),
-                "window_s": batch["window_s"],
-                "n": batch["n"],
-                "sum_floor_value": batch["sum_floor_value"],
+                "event_type": pa.array(
+                    np.asarray(uniq, dtype=object)[ucomp >> np.int64(40)],
+                    type=pa.string(),
+                ),
+                "window_s": ((ucomp & np.int64((1 << 40) - 1)) - bias) * hop_s,
+                "n": n.astype(np.int64),
+                "sum_floor_value": sv,
             }
         )
 
-    return red.map_batches(finish, batch_format="pyarrow")
+    partials = ds.map_batches(fn, batch_format="pyarrow")
+    # cross-batch merge: exact composite GROUP BY (event_type, window_s)
+    return agg.reduce_by_key_multi(
+        partials, ["event_type", "window_s"],
+        {"n": "sum", "sum_floor_value": "sum"},
+        final="single",
+    ).map_batches(
+        lambda b: b.select(["event_type", "window_s", "n",
+                            "sum_floor_value"]),
+        batch_format="pyarrow",
+    )
 
 
 def window_counts(ds):

@@ -135,6 +135,74 @@ def reduce_by_key(
     )
 
 
+def _reduce_block_multi(key_cols: list[str], spec: dict[str, str]):
+    """Per-block grouped reduce over a COMPOSITE key (SQL GROUP BY a, b):
+    lexsort over the key columns (object/string keys supported), group
+    boundaries where ANY key changes, then the same reduceat kernels as
+    _reduce_block.  Exact — no hashed composite, no string concatenation."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        ks = [batch[c].to_numpy(zero_copy_only=False) for c in key_cols]
+        order = np.lexsort(tuple(ks[::-1]))  # key_cols[0] is primary
+        ks_s = [k[order] for k in ks]
+        diff = np.zeros(batch.num_rows - 1, dtype=bool)
+        for k in ks_s:
+            diff |= k[1:] != k[:-1]
+        starts = np.concatenate([[0], np.nonzero(diff)[0] + 1])
+        cols = {c: k[starts] for c, k in zip(key_cols, ks_s)}
+        for c, op in spec.items():
+            v = batch[c].to_numpy(zero_copy_only=False)[order]
+            if op == "sum":
+                cols[c] = np.add.reduceat(v, starts)
+            elif op == "min":
+                cols[c] = np.minimum.reduceat(v, starts)
+            elif op == "max":
+                cols[c] = np.maximum.reduceat(v, starts)
+            else:
+                raise ValueError(op)
+        return pa.table(cols)
+
+    return fn
+
+
+def reduce_by_key_multi(
+    ds,
+    key_cols: list[str],
+    spec: dict[str, str],
+    final: str = "single",
+    batch_size: int | None = None,
+):
+    """Distributed grouped reduce over a composite key — the multi-column
+    GROUP BY.  Same physical plan as reduce_by_key (map-side partial
+    combine -> sort exchange on the key tuple -> block reduce -> boundary
+    merge); `final='hash'` hash-partitions on key_cols[0] (co-locating
+    every composite key whose first component matches — exact, since the
+    per-partition reduce regroups on the full tuple)."""
+    reduce_fn = _reduce_block_multi(key_cols, spec)
+    partials = ds.map_batches(
+        reduce_fn, batch_format="pyarrow", batch_size=batch_size
+    )
+    if final == "hash":
+        from . import exchange
+
+        parts = exchange.hash_exchange(
+            partials, key_cols[0], exchange.default_num_parts()
+        )
+        return exchange.partitions_to_dataset(parts, reduce_fn)
+    first = partials.sort(key_cols).map_batches(
+        reduce_fn, batch_format="pyarrow", batch_size=None
+    )
+    if final == "single":
+        return first.repartition(1).map_batches(
+            reduce_fn, batch_format="pyarrow", batch_size=None
+        )
+    return first.sort(key_cols).map_batches(
+        reduce_fn, batch_format="pyarrow", batch_size=None
+    )
+
+
 def sum_by_key(
     ds,
     key_col: str,

@@ -397,33 +397,37 @@ def lsh_candidate_pairs(bands_ds, id_col: str, bucket_col: str,
         hot = np.nonzero(lens > hot_bucket_cap)[0]
         if len(hot) == 0:
             return empty
-        ck, bh, lo_c, ix, iv = [], [], [], [], []
-        for seg in hot:
-            st, n = int(starts[seg]), int(lens[seg])
-            ids_seg = i_s[st : st + n]
-            # distinct buckets in one partition can share a hash only by
-            # collision; bucket_h + lo disambiguates the chunk groups
-            h = int(_hash_keys(b_s[st : st + 1])[0])
-
-            def _signed64(v: int) -> int:
-                v &= 0xFFFFFFFFFFFFFFFF
-                return v - (1 << 64) if v >= (1 << 63) else v
-
-            n_chunks = -(-n // hot_bucket_cap)
-            for c in range(n_chunks):
-                lo = c * hot_bucket_cap
-                m = n - lo
-                ckey = _signed64(h * 0x9E3779B97F4A7C15 + c)
-                ck.append(np.full(m, ckey, dtype=np.int64))
-                bh.append(np.full(m, _signed64(h), dtype=np.int64))
-                lo_c.append(np.full(m, lo, dtype=np.int64))
-                ix.append(np.arange(lo, n, dtype=np.int64))
-                iv.append(ids_seg[lo:])
-        return pa.table({"ckey": np.concatenate(ck),
-                         "bucket_h": np.concatenate(bh),
-                         "lo": np.concatenate(lo_c),
-                         "idx": np.concatenate(ix),
-                         "id": np.concatenate(iv)})
+        # fully vectorized chunk expansion (repeat/arange arithmetic, the
+        # _left_cross_pairs pattern): hot segment s of n rows emits chunks
+        # c = 0..ceil(n/cap)-1, chunk c carrying rows [c*cap, n).
+        # distinct buckets in one partition can share a hash only by
+        # collision; bucket_h + lo disambiguates the chunk groups
+        hot_n = lens[hot].astype(np.int64)
+        h_seg = _hash_keys(b_s[starts[hot]]).astype(np.uint64)  # (H,)
+        n_chunks = -(-hot_n // hot_bucket_cap)
+        tot_ch = int(n_chunks.sum())
+        seg_of_ch = np.repeat(np.arange(len(hot), dtype=np.int64), n_chunks)
+        ch0 = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        c_of_ch = np.arange(tot_ch, dtype=np.int64) - np.repeat(ch0, n_chunks)
+        lo_ch = c_of_ch * hot_bucket_cap
+        m_ch = hot_n[seg_of_ch] - lo_ch
+        # uint64 modular arithmetic == the two's-complement Python-int
+        # masking it replaces (bit-identical ckeys)
+        ckey_ch = (
+            h_seg[seg_of_ch] * np.uint64(0x9E3779B97F4A7C15)
+            + c_of_ch.astype(np.uint64)
+        ).view(np.int64)
+        tot_rows = int(m_ch.sum())
+        row_ch = np.repeat(np.arange(tot_ch, dtype=np.int64), m_ch)
+        r0 = np.concatenate(([0], np.cumsum(m_ch)[:-1]))
+        w = np.arange(tot_rows, dtype=np.int64) - np.repeat(r0, m_ch)
+        idx = lo_ch[row_ch] + w
+        seg_of_row = seg_of_ch[row_ch]
+        return pa.table({"ckey": ckey_ch[row_ch],
+                         "bucket_h": h_seg.view(np.int64)[seg_of_row],
+                         "lo": lo_ch[row_ch],
+                         "idx": idx,
+                         "id": i_s[starts[hot][seg_of_row] + idx]})
 
     spill = partitions_to_dataset(prepped, spill_rows)
     # no hot bucket anywhere (the common case): skip the chunk re-exchange

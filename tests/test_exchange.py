@@ -230,3 +230,34 @@ def test_lsh_candidate_pairs_hot_bucket(ray_session, cap):
     got = set(zip(out["doc_a"].tolist(), out["doc_b"].tolist()))
     assert got == _bruteforce_pairs(all_ids, all_buckets)
     assert len(got) == len(out)  # deduped
+
+
+def test_reduce_by_key_multi_matches_pandas(ray_session):
+    """Composite GROUP BY (string, int) — exact, no hashed key."""
+    import pandas as pd
+    import ray.data
+    from s2_geometry_rust_ray.stages import agg
+
+    rng = np.random.default_rng(7)
+    et = np.array(["view", "buy", "add", "zz|weird"], dtype=object)[
+        rng.integers(0, 4, 5000)
+    ]
+    w = rng.integers(-3, 5, 5000).astype(np.int64)
+    v = rng.integers(0, 100, 5000).astype(np.int64)
+    df = pd.DataFrame({"et": et, "w": w, "v": v,
+                       "n": np.ones(5000, dtype=np.int64)})
+    ds = ray.data.from_pandas(df).repartition(7)
+    for final in ["single", "sorted", "hash"]:
+        out = agg.reduce_by_key_multi(
+            ds, ["et", "w"], {"n": "sum", "v": "min"}, final=final
+        ).to_pandas()
+        exp = (
+            df.groupby(["et", "w"], sort=False)
+            .agg(n=("n", "sum"), v=("v", "min"))
+            .reset_index()
+        )
+        a = out.sort_values(["et", "w"]).reset_index(drop=True)
+        b = exp.sort_values(["et", "w"]).reset_index(drop=True)[a.columns]
+        assert a.equals(b), final
+        # one row per composite key, every final mode
+        assert len(out) == len(exp), final
