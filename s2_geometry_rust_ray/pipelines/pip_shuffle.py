@@ -24,50 +24,82 @@ from ..stages.encode import geotag_and_encode
 U = np.uint64
 
 
+def _drop_contained(ids: np.ndarray) -> np.ndarray:
+    """Keep only cells not contained in another cell of the set (sort by
+    (range_min asc, range_max desc) and sweep) — containment dedup
+    WITHOUT the canonical quad-merge (merging 4 grid-level siblings would
+    produce an off-grid parent the point side never probes)."""
+    rmin = cellid.range_min(ids)
+    rmax = cellid.range_max(ids)
+    order = np.lexsort((-cellid.to_sort_key(rmax).astype(np.float64),
+                        cellid.to_sort_key(rmin)))
+    keep, hi = [], None
+    kmax = cellid.to_sort_key(rmax)
+    kmin = cellid.to_sort_key(rmin)
+    for i in order.tolist():
+        if hi is not None and kmax[i] <= hi:
+            continue  # contained in the previously kept cell
+        keep.append(i)
+        hi = kmax[i]
+    return ids[np.array(keep, dtype=np.int64)]
+
+
 def covering_tiles(layer: dict, level: int, max_cells: int = 128,
-                   with_geometry: bool = False) -> pa.Table:
-    """Per polygon: the set of level-K tiles overlapping it, from an S2
-    covering (coarser covering cells are expanded to their K-descendants,
-    finer ones mapped to their K-ancestor).  With `with_geometry`, each
-    tile row also carries the polygon's pickled geometry so the exchange
-    delivers vertices to exactly the partitions that need them (replication
-    bounded by covering size — never a full-layer broadcast)."""
+                   with_geometry: bool = False,
+                   grid_step: int = 4) -> pa.Table:
+    """Per polygon: its S2 covering coarsened onto the level GRID
+    {level, level-grid_step, ..., >=0} — each covering cell maps to its
+    ancestor at the largest grid level <= its own level (never a
+    descendant explosion: a snake-shaped polygon whose covering sits at
+    coarse levels would otherwise explode into tens of thousands of
+    level-K tiles, each dragging the pickled geometry through the
+    exchange).  Coarsening only ADDS candidate area; the exact refine
+    prunes it, so the join output is invariant.  Contained duplicates are
+    swept out so each point matches at most one tile per polygon.  The
+    point side probes one ancestor per grid level present (see
+    shuffle_pip_join).  With `with_geometry`, each tile row carries the
+    polygon's pickled geometry so the exchange delivers vertices to
+    exactly the partitions that need them (replication bounded by
+    covering size — never a full-layer broadcast)."""
     import pickle
 
+    from ..geometry import cell_union
     from ..geometry.loop import Polygon
 
+    grid = sorted({max(0, level - k * grid_step)
+                   for k in range((level // grid_step) + 2)})
     rows_tile, rows_pid, rows_geom = [], [], []
     cov_opts = RegionCoverer(max_cells=max_cells, max_level=min(30, level + 3))
+    grid_arr = np.array(grid, dtype=np.int64)
     for pid, poly in layer.items():
-        geom = (
-            pickle.dumps(
-                poly if isinstance(poly, Polygon)
-                else Polygon.from_loops_latlng_deg(poly)
+        if with_geometry:
+            # ship (polygon, interior-covering ranges): the refine fast-
+            # accepts points whose leaf lies in an interior cell — same
+            # prune the broadcast PIPJoin uses — and runs the exact
+            # kernel only on the boundary shell
+            p = (poly if isinstance(poly, Polygon)
+                 else Polygon.from_loops_latlng_deg(poly))
+            icov = cell_union.normalize(
+                cov_opts.get_interior_covering(PolygonRegion(p))
             )
-            if with_geometry
-            else None
-        )
+            geom = pickle.dumps(
+                (p, cellid.range_min(icov), cellid.range_max(icov))
+            )
+            poly = p
+        else:
+            geom = None
         cov = cov_opts.get_covering(PolygonRegion(poly))
-        tiles: set[int] = set()
-        for c in cov:
-            lv = int(cellid.level(np.array([c], U))[0])
-            if lv >= level:
-                tiles.add(int(cellid.parent(np.array([c], U), level)[0]))
-            else:
-                ids = [int(c)]
-                for _ in range(level - lv):
-                    ids = [
-                        int(ch)
-                        for cid_ in ids
-                        for ch in cellid.children(np.array([cid_], U))[0]
-                    ]
-                    if len(ids) > 65536:
-                        raise ValueError(
-                            f"covering explosion for {pid}; raise max_cells or level"
-                        )
-                tiles.update(ids)
-        for t in sorted(tiles):
-            rows_tile.append(np.int64(cellid.to_sort_key(np.array([t], U))[0]))
+        lv = cellid.level(cov)
+        # largest grid level <= cell level (cells finer than `level`
+        # coarsen to `level` itself)
+        gi = np.searchsorted(grid_arr, np.minimum(lv, level), side="right") - 1
+        coarse = cellid.parent(cov, 0)  # allocate; overwritten per level
+        for g in np.unique(gi):
+            m = gi == g
+            coarse[m] = cellid.parent(cov[m], int(grid_arr[g]))
+        tiles = _drop_contained(np.unique(coarse))
+        for t in cellid.to_sort_key(tiles).tolist():
+            rows_tile.append(t)
             rows_pid.append(pid)
             rows_geom.append(geom)
     cols = {"tile": np.array(rows_tile, dtype=np.int64),
@@ -78,7 +110,8 @@ def covering_tiles(layer: dict, level: int, max_cells: int = 128,
 
 
 def shuffle_pip_join(ds, key_col: str, layer, level: int = 8,
-                     num_parts: int | None = None):
+                     num_parts: int | None = None, salt: int = 1,
+                     pretagged: bool = False):
     """Equi-join points.cell_lK == covering tile (hash exchange), then exact
     PIP refine per (point, polygon) candidate pair.  Output (key, polygon_id)
     identical to the broadcast join.
@@ -86,34 +119,109 @@ def shuffle_pip_join(ds, key_col: str, layer, level: int = 8,
     The polygon layer is NEVER broadcast or closure-captured: each covering
     tile row carries its polygon's pickled vertices through the exchange, so
     a partition receives only the polygons whose tiles hash to it (geometry
-    replication bounded by covering size, independent of cluster width)."""
+    replication bounded by covering size, independent of cluster width).
 
-    def encode_points(batch: pa.Table) -> pa.Table:
-        batch = geotag_and_encode(key_col)(batch)
-        tiles = cellid.to_sort_key(
-            cellid.parent(batch["cell_id"].to_numpy(zero_copy_only=False), level)
-        )
-        return pa.table(
-            {
-                key_col: batch[key_col],
-                "lat": batch["lat"],
-                "lng": batch["lng"],
-                "tile": tiles,
-            }
-        )
+    Skew (`salt` > 1): a hot covering tile (dense city at the explode
+    level) would funnel all its candidate points into ONE partition's
+    refine task.  Salting partitions by a (tile, salt) mix — point salt
+    derived from the point key, the small tile side replicated once per
+    salt — so a hot tile's points spread across up to `salt` refine tasks.
+    The in-partition equi-join still runs on the TRUE tile (partition-key
+    collisions are harmless) after deduping tile rows whose salted copies
+    hashed to the same partition, so the output is exactly the salt=1
+    output.  Tile-side cost: x`salt` replication of a small table.
 
+    `pretagged`: the input already carries lat/lng columns (skips the
+    deterministic key->geotag derivation)."""
     import pickle
 
     import ray.data
 
     from ..functions.coords import latlng_deg_to_xyz
 
+    tiles_tbl = covering_tiles(layer, level, with_geometry=True)
+    # the tile KEY SET is small even when the layer geometry is not —
+    # precompute per-grid-level sorted key arrays, closure-shipped to the
+    # point stage: each point probes one ancestor per level present and
+    # emits ONLY matching rows, so the exchange carries candidates, not
+    # the whole input
+    tk = tiles_tbl["tile"].to_numpy(zero_copy_only=False)
+    tlv = cellid.level(cellid.from_sort_key(tk))
+    level_keys = {
+        int(l): np.unique(tk[tlv == l]) for l in np.unique(tlv).tolist()
+    }
+
+    def encode_points(batch: pa.Table) -> pa.Table:
+        if not pretagged:
+            batch = geotag_and_encode(key_col)(batch)
+        else:
+            from ..stages.encode import encode_cells
+
+            batch = encode_cells(batch)
+        leaf = batch["cell_id"].to_numpy(zero_copy_only=False)
+        k_np = batch[key_col].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        kk, la, ln, tt_ = [], [], [], []
+        for lvl, keys in level_keys.items():
+            anc = cellid.to_sort_key(cellid.parent(leaf, lvl))
+            pos = np.searchsorted(keys, anc)
+            pos_c = np.minimum(pos, len(keys) - 1)
+            hit = keys[pos_c] == anc
+            if hit.any():
+                kk.append(k_np[hit])
+                la.append(lat[hit])
+                ln.append(lng[hit])
+                tt_.append(anc[hit])
+        if kk:
+            k_c = np.concatenate(kk)
+            tiles = np.concatenate(tt_)
+            out = {
+                key_col: pa.array(k_c, type=batch.schema.field(key_col).type),
+                "lat": np.concatenate(la),
+                "lng": np.concatenate(ln),
+                "tile": tiles,
+            }
+        else:
+            k_c = k_np[:0]
+            tiles = np.array([], dtype=np.int64)
+            out = {
+                key_col: pa.array(k_c, type=batch.schema.field(key_col).type),
+                "lat": np.array([], dtype=np.float64),
+                "lng": np.array([], dtype=np.float64),
+                "tile": tiles,
+            }
+        if salt > 1:
+            s = (
+                np.asarray(k_c).astype(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(33)
+            ) % np.uint64(salt)
+            out["part_key"] = (
+                tiles.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F) + s
+            ).view(np.int64)
+        return pa.table(out)
+
     points = ds.map_batches(encode_points, batch_format="pyarrow")
-    right = ray.data.from_arrow(covering_tiles(layer, level, with_geometry=True))
+    if salt > 1:
+        # replicate each tile row once per salt value with the matching
+        # partition key; the refine dedups any copies that co-hash
+        n = tiles_tbl.num_rows
+        idx = np.repeat(np.arange(n, dtype=np.int64), salt)
+        s = np.tile(np.arange(salt, dtype=np.uint64), n)
+        rep = tiles_tbl.take(pa.array(idx))
+        pk = (
+            rep["tile"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            * np.uint64(0xC2B2AE3D27D4EB4F)
+            + s
+        ).view(np.int64)
+        tiles_tbl = rep.append_column("part_key", pa.array(pk))
+    right = ray.data.from_arrow(tiles_tbl)
     if num_parts is None:
         num_parts = exchange.default_num_parts()
-    point_parts = exchange.hash_exchange(points, "tile", num_parts)
-    tile_parts = exchange.hash_exchange(right, "tile", num_parts)
+    part_col = "part_key" if salt > 1 else "tile"
+    point_parts = exchange.hash_exchange(points, part_col, num_parts)
+    tile_parts = exchange.hash_exchange(right, part_col, num_parts)
 
     def refine_part(pt: pa.Table, tt: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -122,13 +230,25 @@ def shuffle_pip_join(ds, key_col: str, layer, level: int = 8,
         )
         if pt.num_rows == 0 or tt.num_rows == 0:
             return empty
+        if salt > 1:
+            # salted copies of one tile row can co-hash into this
+            # partition; the join key is the true tile, so dedup first
+            # (tile tables are covering-sized — a set scan is bounded)
+            t_np = tt["tile"].to_numpy(zero_copy_only=False)
+            p_np = tt["polygon_id"].to_pylist()
+            seen, keep_i = set(), []
+            for i, tp in enumerate(zip(t_np.tolist(), p_np)):
+                if tp not in seen:
+                    seen.add(tp)
+                    keep_i.append(i)
+            tt = tt.take(pa.array(keep_i, pa.int64()))
         # geometry arrives with the tile rows; deserialize once per polygon
         pids_t = tt["polygon_id"].to_pylist()
         geoms = tt["geom"].to_pylist()
         polys = {}
         for pid, g in zip(pids_t, geoms):
             if pid not in polys:
-                polys[pid] = pickle.loads(g)
+                polys[pid] = pickle.loads(g)  # (poly, irmin, irmax)
         cand = pt.join(tt.select(["tile", "polygon_id"]), keys="tile",
                        join_type="inner")
         if cand.num_rows == 0:
@@ -137,12 +257,21 @@ def shuffle_pip_join(ds, key_col: str, layer, level: int = 8,
         lng = cand["lng"].to_numpy(zero_copy_only=False)
         x, y, z = latlng_deg_to_xyz(lat, lng)
         pts = np.stack([x, y, z], axis=-1)
+        leaves = cellid.from_xyz(x, y, z)
         pids = np.asarray(cand["polygon_id"].to_pylist(), dtype=object)
         keys = cand[key_col].to_numpy(zero_copy_only=False)
         keep = np.zeros(len(keys), dtype=bool)
+        from ..stages.pip import _ranges_contain
+
         for pid in np.unique(pids):
-            m = pids == pid
-            keep[m] = polys[pid].contains_points(pts[m])
+            m = np.nonzero(pids == pid)[0]
+            poly, irmin, irmax = polys[pid]
+            # interior fast-accept; exact parity only on the shell
+            acc = _ranges_contain(irmin, irmax, leaves[m])
+            keep[m[acc]] = True
+            shell = m[~acc]
+            if shell.size:
+                keep[shell] = poly.contains_points(pts[shell])
         return pa.table(
             {key_col: keys[keep],
              "polygon_id": pa.array(pids[keep], type=pa.string())}

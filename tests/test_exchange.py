@@ -261,3 +261,42 @@ def test_reduce_by_key_multi_matches_pandas(ray_session):
         assert a.equals(b), final
         # one row per composite key, every final mode
         assert len(out) == len(exp), final
+
+
+def test_shuffle_pip_salted_matches_unsalted(ray_session):
+    """Uniform tile salting must be output-invariant (the skew path), and
+    a pretagged skewed corpus (~25% of points in one urban tile) must
+    produce identical results at salt=1 and salt=8."""
+    import pandas as pd
+    import ray.data
+    from s2_geometry_rust_ray.pipelines import pip as ppip
+    from s2_geometry_rust_ray.pipelines import pip_shuffle
+
+    layer = ppip.standard_polygon_layer()
+    rng = np.random.default_rng(11)
+    n = 4000
+    hot = n // 4
+    # 25% of points clustered inside urban cluster 0 (40.75, -74), the
+    # rest spread wide
+    lat = np.concatenate([
+        40.75 + rng.uniform(-0.05, 0.05, hot),
+        rng.uniform(-60, 60, n - hot),
+    ])
+    lng = np.concatenate([
+        -74.0 + rng.uniform(-0.05, 0.05, hot),
+        rng.uniform(-179, 179, n - hot),
+    ])
+    df = pd.DataFrame({"k": np.arange(n, dtype=np.int64),
+                       "lat": lat, "lng": lng})
+    outs = {}
+    for salt in (1, 8):
+        ds = ray.data.from_pandas(df).repartition(4)
+        out = pip_shuffle.shuffle_pip_join(
+            ds, "k", layer, level=7, num_parts=4, salt=salt,
+            pretagged=True,
+        ).to_pandas()
+        outs[salt] = out.sort_values(["k", "polygon_id"]).reset_index(
+            drop=True
+        )
+    assert len(outs[1]) > 0
+    assert outs[1].equals(outs[8])
