@@ -17,7 +17,6 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions import cellid
-from ..geometry.coverer import PolygonRegion, RegionCoverer
 from ..stages import exchange
 from ..stages.encode import geotag_and_encode
 
@@ -44,7 +43,7 @@ def _drop_contained(ids: np.ndarray) -> np.ndarray:
     return ids[np.array(keep, dtype=np.int64)]
 
 
-def covering_tiles(layer: dict, level: int, max_cells: int = 128,
+def covering_tiles(layer: dict, level: int, max_cells: int = 48,
                    with_geometry: bool = False,
                    grid_step: int = 4) -> pa.Table:
     """Per polygon: its S2 covering coarsened onto the level GRID
@@ -60,35 +59,34 @@ def covering_tiles(layer: dict, level: int, max_cells: int = 128,
     shuffle_pip_join).  With `with_geometry`, each tile row carries the
     polygon's pickled geometry so the exchange delivers vertices to
     exactly the partitions that need them (replication bounded by
-    covering size — never a full-layer broadcast)."""
+    covering size — never a full-layer broadcast).
+
+    Coverer work is delegated to stages.pip.prepare_layer — parallel Ray
+    tasks + the process-level content-digest memo, so a broadcast join
+    and a shuffle join over the same layer (or repeated shuffle runs)
+    pay the coverer ONCE.  Covering cell ids reconstruct exactly from
+    the stored ranges: id = rmin + (rmax - rmin) // 2."""
     import pickle
 
-    from ..geometry import cell_union
-    from ..geometry.loop import Polygon
+    from ..stages.pip import prepare_layer
 
+    prepared = prepare_layer(layer, covering_max_cells=max_cells)
     grid = sorted({max(0, level - k * grid_step)
                    for k in range((level // grid_step) + 2)})
     rows_tile, rows_pid, rows_geom = [], [], []
-    cov_opts = RegionCoverer(max_cells=max_cells, max_level=min(30, level + 3))
     grid_arr = np.array(grid, dtype=np.int64)
-    for pid, poly in layer.items():
+    for pid, poly in prepared.polys.items():
         if with_geometry:
             # ship (polygon, interior-covering ranges): the refine fast-
             # accepts points whose leaf lies in an interior cell — same
             # prune the broadcast PIPJoin uses — and runs the exact
             # kernel only on the boundary shell
-            p = (poly if isinstance(poly, Polygon)
-                 else Polygon.from_loops_latlng_deg(poly))
-            icov = cell_union.normalize(
-                cov_opts.get_interior_covering(PolygonRegion(p))
-            )
-            geom = pickle.dumps(
-                (p, cellid.range_min(icov), cellid.range_max(icov))
-            )
-            poly = p
+            irmin, irmax = prepared.interiors[pid]
+            geom = pickle.dumps((poly, irmin, irmax))
         else:
             geom = None
-        cov = cov_opts.get_covering(PolygonRegion(poly))
+        crmin, crmax = prepared.coverings[pid]
+        cov = crmin + (crmax - crmin) // U(2)
         lv = cellid.level(cov)
         # largest grid level <= cell level (cells finer than `level`
         # coarsen to `level` itself)
