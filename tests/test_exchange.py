@@ -300,3 +300,54 @@ def test_shuffle_pip_salted_matches_unsalted(ray_session):
         )
     assert len(outs[1]) > 0
     assert outs[1].equals(outs[8])
+
+
+def test_covering_tiles_grid_bounds_snake_polygons(ray_session):
+    """A thin spiral polygon (candy_cane) whose covering sits at coarse
+    levels must NOT explode into level-K descendants: the grid-coarsened
+    tile table stays covering-sized (was 69k rows x pickled geometry
+    before the grid fix), and the shuffle join still matches the
+    broadcast join exactly on a corpus straddling the spiral."""
+    import pandas as pd
+    import ray.data
+    from s2_geometry_rust_ray.geometry import fixtures
+    from s2_geometry_rust_ray.pipelines import pip_shuffle
+
+    def as_loops(coords):
+        return [([c[0] for c in coords], [c[1] for c in coords])]
+
+    layer = {"candy": as_loops(fixtures.LOOP_COORDS_DEG["candy_cane"]),
+             "box": as_loops([(30, 10), (30, 30), (50, 30), (50, 10)])}
+    tiles = pip_shuffle.covering_tiles(layer, 8, with_geometry=True)
+    assert tiles.num_rows <= 256, tiles.num_rows
+    assert tiles.nbytes < 2_000_000, tiles.nbytes
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    df = pd.DataFrame({
+        "k": np.arange(n, dtype=np.int64),
+        "lat": rng.uniform(-30, 55, n),
+        "lng": rng.uniform(-179, 179, n),
+    })
+    ds = ray.data.from_pandas(df).repartition(4)
+    shuf = pip_shuffle.shuffle_pip_join(
+        ds, "k", layer, level=8, num_parts=4, pretagged=True
+    ).to_pandas()
+    a = shuf.sort_values(["k", "polygon_id"]).reset_index(drop=True)
+
+    # driver-side exact oracle: contains_points per polygon
+    from s2_geometry_rust_ray.functions.coords import latlng_deg_to_xyz
+    from s2_geometry_rust_ray.geometry.loop import Polygon
+
+    x, y, z = latlng_deg_to_xyz(df["lat"].values, df["lng"].values)
+    pts = np.stack([x, y, z], axis=-1)
+    rows = []
+    for pid, loops in layer.items():
+        inside = Polygon.from_loops_latlng_deg(loops).contains_points(pts)
+        for k in df["k"].values[inside]:
+            rows.append((int(k), pid))
+    b = pd.DataFrame(rows, columns=["k", "polygon_id"]).sort_values(
+        ["k", "polygon_id"]
+    ).reset_index(drop=True)
+    assert len(a) > 0
+    assert a.equals(b)
