@@ -344,6 +344,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(path, columns=["image_id", "bytes", "fmt"])
         return multimodal.phash_recompute(ds)
 
+    def q_img_phash_near_dup(sf_dir: str):
+        # image near-dedup: banded Hamming LSH over the stored phash
+        # column (8x8-bit bands, pigeonhole-complete for hamming <= 7),
+        # exact popcount verify — the image-axis twin of simhash_near_dup
+        from s2_geometry_rust_ray.pipelines import flagship
+
+        path, _ = _images_for_sf(sf_dir)
+        return flagship.image_phash_near_dup(path, max_hamming=7)
+
     def q_cap_bounds(sf_dir: str):
         ds = _read(sf_dir, "documents", columns=["doc_id"])
         return tiling.cap_bounds(ds, "doc_id", level=5)
@@ -369,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s2_cap_bounds_l5": q_cap_bounds,
         "img_tile_counts_l8": q_img_tiles,
         "img_phash_verify": q_img_phash,
+        "img_phash_near_dup": q_img_phash_near_dup,
         "s2_cell_encode_docs": q_encode_docs,
         "s2_tile_counts_l8": q_tile_l8,
         "s2_tile_counts_l12": q_tile_l12,
@@ -447,6 +457,36 @@ def oracle_sql() -> dict[str, str]:
         "img_phash_verify": (
             "SELECT image_id, phash "
             f"FROM read_parquet('/tmp/graft_images_{IMG_TABLE_ROWS}/*.parquet')"
+        ),
+        # image near-dup: the SAME banded decomposition as the engine (it
+        # is exact by pigeonhole, not an approximation), so the twin is a
+        # band self-join + popcount filter.  int64 phash -> UBIGINT via
+        # HUGEINT wrap (BIGINT->UBIGINT casts range-error on negatives).
+        "img_phash_near_dup": (
+            """WITH imgs AS (
+  SELECT image_id,
+         CAST(((CAST(phash AS HUGEINT) + 18446744073709551616)
+               % 18446744073709551616) AS UBIGINT) AS sig
+  FROM read_parquet('/tmp/graft_images_"""
+            + str(IMG_TABLE_ROWS)
+            + """/*.parquet')
+),
+bands AS (
+  SELECT image_id,
+         b * 256 + CAST((sig >> (8 * b)) & 255::UBIGINT AS BIGINT) AS bucket
+  FROM imgs CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
+),
+cand AS (
+  SELECT DISTINCT x.image_id AS img_a, y.image_id AS img_b
+  FROM bands x JOIN bands y USING (bucket)
+  WHERE x.image_id < y.image_id
+)
+SELECT c.img_a, c.img_b,
+       CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+FROM cand c
+JOIN imgs sa ON sa.image_id = c.img_a
+JOIN imgs sb ON sb.image_id = c.img_b
+WHERE bit_count(xor(sa.sig, sb.sig)) <= 7"""
         ),
         "s2_cell_encode_docs": osql.q_cell_encode(DOCS_SRC, "doc_id", "doc_id"),
         "s2_tile_counts_l8": osql.q_tile_counts(LINEITEM_SRC, "k", 8),

@@ -174,3 +174,31 @@ def test_manifest_metrics_rollup(ray_session, images_dir):
     t = man.to_table()
     assert t.num_rows == len(rows)
     assert "wall_s" in t.column_names
+
+
+def test_phash_near_dup_matches_bruteforce(ray_session, images_dir):
+    """Banded Hamming LSH over the stored phash column is EXACT for
+    max_hamming <= 7 (pigeonhole over 8x8-bit bands): compare against the
+    O(n^2) brute force on 2000 images (known dup fixtures ~1%)."""
+    from s2_geometry_rust_ray.pipelines import flagship
+
+    out = flagship.image_phash_near_dup(
+        images_dir, max_hamming=7, num_parts=4
+    ).to_pandas()
+    got = sorted(map(tuple, out[["img_a", "img_b", "hamming"]].values))
+
+    t = pq.read_table(images_dir, columns=["image_id", "phash"])
+    ids = t["image_id"].to_pylist()
+    ph = t["phash"].to_numpy().view(np.uint64)
+    x = ph[:, None] ^ ph[None, :]
+    ham = np.bitwise_count(x) if hasattr(np, "bitwise_count") else (
+        np.unpackbits(x.view(np.uint8), axis=-1).reshape(len(ph), len(ph), 64)
+        .sum(axis=-1)
+    )
+    exp = []
+    ai, bi = np.nonzero(ham <= 7)
+    for i, j in zip(ai.tolist(), bi.tolist()):
+        if ids[i] < ids[j]:
+            exp.append((ids[i], ids[j], int(ham[i, j])))
+    assert len(exp) > 0
+    assert got == sorted(exp)
