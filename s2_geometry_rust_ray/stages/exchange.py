@@ -84,40 +84,57 @@ def default_actor_concurrency(frac: float = 0.85, min_actors: int = 2) -> int:
 
 
 def actor_map(ds, cls, *, fn_constructor_kwargs=None, batch_format="pyarrow",
-              batch_size=None, concurrency=None, **mb_kwargs):
-    """map_batches with a stateful callable class on a fixed actor pool —
-    EXCEPT on a 1-cpu session, where ANY fixed pool (even size 1) reserves
-    the only slot and the un-fused source operator can never schedule: a
-    hard deadlock (ADVICE r3).  There the class runs as a stateless
-    task-pool map instead, constructed once per worker process (the
-    closure cache below survives across tasks in the same worker — same
-    amortization as an actor, minus the reservation)."""
-    if _cluster_cpus() <= 1:
-        import ray
+              batch_size=None, concurrency=None, use_actors=False,
+              **mb_kwargs):
+    """map_batches with a stateful callable class, constructed once per
+    worker — by default as a TASK-pool map with a per-worker closure
+    cache, not an actor pool.
 
-        kw = dict(fn_constructor_kwargs or {})
-        cache: dict = {}
+    Ray's ActorPoolMapOperator turns every batch into an actor call (RPC
+    + object-store arg/result round trip) and never fuses with the input:
+    measured 10.4 s actor pool vs 5.9 s task pool for the same broadcast
+    PIP join at 4 slots / batch_size 131072 (r4).  A task-pool map
+    processes whole blocks in-worker, and the deserialized fn — including
+    `cache` — persists in the worker's function table, so the class is
+    constructed once per worker process: actor amortization without the
+    per-batch RPC, the pool-sizing deadlock (r3 ADVICE: a full-width
+    fixed pool starves the un-fused source operator; fatal at 1 cpu), or
+    the reservation/starvation tuning.  ObjectRef kwargs are ray.get once
+    per worker (the broadcast pattern).
 
-        def fn(batch):
-            if "inst" not in cache:
-                cache["inst"] = cls(
-                    **{
-                        k: (ray.get(v) if isinstance(v, ray.ObjectRef) else v)
-                        for k, v in kw.items()
-                    }
-                )
-            return cache["inst"](batch)
-
+    `use_actors=True` keeps the fixed actor pool for constructors too
+    expensive to run once per worker under task-level retry semantics, or
+    state that must not be replicated per worker; no current stage needs
+    it.  `concurrency` caps concurrent tasks (no reservation) in task
+    mode and sizes the pool in actor mode."""
+    if use_actors and _cluster_cpus() > 1:
         return ds.map_batches(
-            fn, batch_format=batch_format, batch_size=batch_size, **mb_kwargs
+            cls,
+            fn_constructor_kwargs=fn_constructor_kwargs,
+            batch_format=batch_format,
+            batch_size=batch_size,
+            concurrency=concurrency or default_actor_concurrency(),
+            **mb_kwargs,
         )
+    import ray
+
+    kw = dict(fn_constructor_kwargs or {})
+    cache: dict = {}
+
+    def fn(batch):
+        if "inst" not in cache:
+            cache["inst"] = cls(
+                **{
+                    k: (ray.get(v) if isinstance(v, ray.ObjectRef) else v)
+                    for k, v in kw.items()
+                }
+            )
+        return cache["inst"](batch)
+
+    if concurrency is not None:
+        mb_kwargs = dict(mb_kwargs, concurrency=concurrency)
     return ds.map_batches(
-        cls,
-        fn_constructor_kwargs=fn_constructor_kwargs,
-        batch_format=batch_format,
-        batch_size=batch_size,
-        concurrency=concurrency or default_actor_concurrency(),
-        **mb_kwargs,
+        fn, batch_format=batch_format, batch_size=batch_size, **mb_kwargs
     )
 
 
