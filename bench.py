@@ -238,13 +238,12 @@ def run_benchmarks() -> dict:
         )
         # same methodology as the pip family: materialize the synthetic
         # source untimed, and fix the partition count across slot levels
-        # (num_parts = cpus would give the 1-slot run a 1-partition plan —
-        # a different physical plan, not the same job at less parallelism)
+        # (a cpu-scaled num_parts would give each level a DIFFERENT
+        # physical plan — more split outputs, more concat tasks — not the
+        # same job at less parallelism; 32 = 2/cpu at the largest level)
         inp = expanded_events(SF_DIR, EXPAND).materialize()
         t0 = time.perf_counter()
-        textops.sessionize(
-            inp, gap_minutes=30, num_parts=max(8, 2 * NUM_CPUS),
-        ).count()
+        textops.sessionize(inp, gap_minutes=30, num_parts=32).count()
         dt = time.perf_counter() - t0
         return {
             "metric": "sessionize_hash_exchange",
@@ -414,7 +413,7 @@ def _host_parallelism_probe(n_procs: int = 16, work: int = 3_000_000) -> float:
     return round(n_procs * t_single / t_wall, 1)
 
 
-SCALING_FAMILY_EXPAND = {"encode": 1024, "pip": 32, "sessions": 256}
+SCALING_FAMILY_EXPAND = {"encode": 1024, "pip": 64, "sessions": 1024}
 
 
 def run_scaling() -> dict:

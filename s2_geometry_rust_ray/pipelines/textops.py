@@ -330,9 +330,12 @@ def sessionize(ds, gap_minutes: int = 30, num_parts: int | None = None):
     n_sessions, n_events) — integer-only, so the SQL oracle (lag() +
     cumulative CASE sum) matches bit-exactly.
 
-    Physical plan: hash-exchange by user_id (stages/exchange.py — sessions
-    need ALL of a user's rows co-located), per-partition vectorized
-    sessionization (sort by (user, ts), gap diff, segment count).
+    Physical plan: FUSED hash-exchange by user_id (sessions need ALL of a
+    user's rows co-located): the (user_id, ts_us) projection runs inside
+    the split task and the per-partition vectorized sessionization (sort
+    by (user, ts), gap diff, segment count) runs in the task that
+    concatenates each partition's shards — one plasma round-trip for the
+    exchanged payload (exchange.hash_exchange_apply).
     """
     import pyarrow as pa
 
@@ -349,8 +352,6 @@ def sessionize(ds, gap_minutes: int = 30, num_parts: int | None = None):
                 "ts_us": ts.astype(np.int64),
             }
         )
-
-    slim = ds.map_batches(project, batch_format="pyarrow")
 
     def per_partition(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -378,8 +379,9 @@ def sessionize(ds, gap_minutes: int = 30, num_parts: int | None = None):
             {"user_id": uu, "n_sessions": n_sessions, "n_events": n_events}
         )
 
-    parts = exchange.hash_exchange(slim, "user_id", num_parts)
-    return exchange.partitions_to_dataset(parts, per_partition)
+    return exchange.hash_exchange_apply(
+        ds, "user_id", num_parts, per_partition, map_fn=project
+    )
 
 
 def asof_join_events(ds, left_type: str = "purchase", right_type: str = "view",
@@ -389,10 +391,12 @@ def asof_join_events(ds, left_type: str = "purchase", right_type: str = "view",
     Output (purchase_id, view_id) inner rows — integer-only, bit-exact vs
     DuckDB's ASOF JOIN.
 
-    Physical plan: hash-exchange by user_id, per-partition pandas
-    merge_asof over ts-sorted frames (the guide's as-of pattern).  Right
-    side pre-deduped to max event_id per (user, ts) so equal-timestamp
-    ties are deterministic in both engines."""
+    Physical plan: FUSED hash-exchange by user_id (projection in the
+    split task, per-partition pandas merge_asof over ts-sorted frames in
+    the shard-concat task — one plasma round-trip, see
+    exchange.hash_exchange_apply).  Right side pre-deduped to max event_id
+    per (user, ts) so equal-timestamp ties are deterministic in both
+    engines."""
     import pyarrow as pa
 
     from ..stages import exchange
@@ -412,8 +416,6 @@ def asof_join_events(ds, left_type: str = "purchase", right_type: str = "view",
                 "is_left": (et[keep] == left_type),
             }
         )
-
-    slim = ds.map_batches(project, batch_format="pyarrow")
 
     def per_partition(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
@@ -439,8 +441,9 @@ def asof_join_events(ds, left_type: str = "purchase", right_type: str = "view",
              "view_id": m["event_id_r"].to_numpy(dtype=np.int64)}
         )
 
-    parts = exchange.hash_exchange(slim, "user_id", num_parts)
-    return exchange.partitions_to_dataset(parts, per_partition)
+    return exchange.hash_exchange_apply(
+        ds, "user_id", num_parts, per_partition, map_fn=project
+    )
 
 
 def sliding_window_counts(ds, window_minutes: int = 60, hop_minutes: int = 15):
