@@ -59,7 +59,6 @@ def loop_measures(layer: dict, num_parts: int | None = None):
         n_loops = len(set(tbl["loop_key"].to_pylist()))
         num_parts = max(1, min(exchange.default_num_parts(), n_loops))
     verts = ray.data.from_arrow(tbl)
-    parts = exchange.hash_exchange(verts, "loop_key", num_parts)
 
     def fold_partition(tbl: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -82,4 +81,6 @@ def loop_measures(layer: dict, num_parts: int | None = None):
              "tan_half_area": np.asarray(out_t, dtype=np.float64)}
         )
 
-    return exchange.partitions_to_dataset(parts, fold_partition)
+    return exchange.hash_exchange_apply(
+        verts, "loop_key", num_parts, fold_partition
+    )

@@ -170,10 +170,8 @@ def cap_bounds(ds: "ray.data.Dataset", key_col: str, level: int = 5,
              "x": x, "y": y, "z": z}
         )
 
-    slim = ds.map_batches(project, batch_format="pyarrow", batch_size=65536)
     if num_parts is None:
         num_parts = exchange.default_num_parts()
-    parts = exchange.hash_exchange(slim, "tile", num_parts)
 
     def per_partition(tbl: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -205,7 +203,12 @@ def cap_bounds(ds: "ray.data.Dataset", key_col: str, level: int = 5,
              "n": counts.astype(np.int64), "r2": r2}
         )
 
-    return exchange.partitions_to_dataset(parts, per_partition)
+    # fused exchange: the geotag+encode+project runs inside the split
+    # task, the per-tile cap fold in the shard-concat task (one plasma
+    # round-trip for the 5-column payload)
+    return exchange.hash_exchange_apply(
+        ds, "tile", num_parts, per_partition, map_fn=project
+    )
 
 
 def snap_dedup(

@@ -119,10 +119,9 @@ def reduce_by_key(
     if final == "hash":
         from . import exchange
 
-        parts = exchange.hash_exchange(
-            partials, key_col, exchange.default_num_parts()
+        return exchange.hash_exchange_apply(
+            partials, key_col, exchange.default_num_parts(), reduce_fn
         )
-        return exchange.partitions_to_dataset(parts, reduce_fn)
     first = partials.sort(key_col).map_batches(
         reduce_fn, batch_format="pyarrow", batch_size=None
     )
@@ -187,10 +186,9 @@ def reduce_by_key_multi(
     if final == "hash":
         from . import exchange
 
-        parts = exchange.hash_exchange(
-            partials, key_cols[0], exchange.default_num_parts()
+        return exchange.hash_exchange_apply(
+            partials, key_cols[0], exchange.default_num_parts(), reduce_fn
         )
-        return exchange.partitions_to_dataset(parts, reduce_fn)
     first = partials.sort(key_cols).map_batches(
         reduce_fn, batch_format="pyarrow", batch_size=None
     )
@@ -302,9 +300,9 @@ def grouped_topk(ds, key_col: str, val_col: str, id_col: str, n: int,
     # final
     from . import exchange
 
-    parts = exchange.hash_exchange(partials, key_col, exchange.default_num_parts())
-    return exchange.partitions_to_dataset(
-        parts, lambda t: add_rank(local_topn(t))
+    return exchange.hash_exchange_apply(
+        partials, key_col, exchange.default_num_parts(),
+        lambda t: add_rank(local_topn(t)),
     )
 
 
@@ -401,8 +399,9 @@ def distinct_count_by_key(ds, key_col: str, distinct_col: str,
     # sum/min/max, is NOT re-reducible, so no later round could fix it)
     from . import exchange
 
-    parts = exchange.hash_exchange(partials, key_col, exchange.default_num_parts())
-    return exchange.partitions_to_dataset(parts, count_final)
+    return exchange.hash_exchange_apply(
+        partials, key_col, exchange.default_num_parts(), count_final
+    )
 
 
 def count_by_key(ds, key_col: str, final: str = "single", out_col: str = "n"):
