@@ -86,9 +86,8 @@ def dedup_clusters(ids_ds, pairs_ds, id_col: str = "doc_id",
     for _ in range(max_iters):
         # candidate labels flow along edges; labels co-partitioned with the
         # pinned edge shards (same hash fn + partition count)
-        label_parts = exchange.hash_exchange(labels, id_col, num_parts)
-        cand_v = exchange.zip_partitions_to_dataset(
-            edge_parts, label_parts, join_part
+        cand_v = exchange.zip_shards_with_parts(
+            labels, id_col, num_parts, edge_parts, join_part
         )
         merged = labels.union(cand_v)
         # final='hash': the per-round reduce must yield exactly ONE row per

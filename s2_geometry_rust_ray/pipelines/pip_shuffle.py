@@ -218,8 +218,6 @@ def shuffle_pip_join(ds, key_col: str, layer, level: int = 8,
     if num_parts is None:
         num_parts = exchange.default_num_parts()
     part_col = "part_key" if salt > 1 else "tile"
-    point_parts = exchange.hash_exchange(points, part_col, num_parts)
-    tile_parts = exchange.hash_exchange(right, part_col, num_parts)
 
     def refine_part(pt: pa.Table, tt: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -275,4 +273,8 @@ def shuffle_pip_join(ds, key_col: str, layer, level: int = 8,
              "polygon_id": pa.array(pids[keep], type=pa.string())}
         )
 
-    return exchange.zip_partitions_to_dataset(point_parts, tile_parts, refine_part)
+    # fused zip exchange: each refine task concats its own point and tile
+    # shards — the point payload crosses the object store exactly once
+    return exchange.zip_exchange_apply(
+        points, right, part_col, part_col, num_parts, refine_part
+    )

@@ -173,38 +173,68 @@ def _hash_part(table: pa.Table, key_col: str, num_parts: int) -> list[pa.Table]:
     ]
 
 
-def hash_exchange(ds, key_col: str, num_parts: int):
-    """Dataset -> list of per-partition ObjectRef[pa.Table] (co-partitioned
-    by hash(key) % num_parts).  Every ref is a schema-ful Arrow table
-    (possibly 0 rows); nothing is pulled to the driver."""
+def _empty_exchange_table(ds, key_col: str, map_fn=None) -> pa.Table:
+    """Schema-ful empty table for a zero-block dataset's exchange."""
+    schema = ds.schema()
+    arrow_schema = getattr(schema, "base_schema", None) if schema else None
+    if arrow_schema is None:
+        arrow_schema = pa.schema([(key_col, pa.null())])
+    tbl = arrow_schema.empty_table()
+    if map_fn is not None:
+        tbl = map_fn(tbl)
+    return tbl
+
+
+def exchange_shards(ds, key_col: str, num_parts: int, map_fn=None):
+    """The split phase of a hash exchange: Dataset -> per-PARTITION lists
+    of shard ObjectRefs (one shard per input block), each shard a compact
+    schema-ful Arrow table.  `map_fn` (projection) runs inside the split
+    task.  Returns None for a zero-block dataset.  Consumers that fuse the
+    shard concat into their own reduce task (hash_exchange_apply,
+    hash_join, lsh prep) save one full object-store round-trip of the
+    partition payload vs consuming concat'd partitions."""
     import ray
 
     @ray.remote
     def split(block: pa.Table):
+        if map_fn is not None:
+            block = map_fn(block)
         parts = _hash_part(block, key_col, num_parts)
         return parts[0] if num_parts == 1 else tuple(parts)
 
-    @ray.remote
-    def concat(*shards):
-        return pa.concat_tables(shards, promote_options="default")
-
     block_refs = ds.to_arrow_refs()
     if not block_refs:
-        # zero-block dataset: emit schema-ful empties (concat_tables of
-        # nothing raises; downstream still needs a stable schema)
-        schema = ds.schema()
-        arrow_schema = getattr(schema, "base_schema", None) if schema else None
-        if arrow_schema is None:
-            arrow_schema = pa.schema([(key_col, pa.null())])
-        empty = ray.put(arrow_schema.empty_table())
-        return [empty for _ in range(num_parts)]
+        return None
     # static num_returns: submission returns refs immediately — no blocking,
     # all map tasks in flight before the first reduce is scheduled
     split_n = split.options(num_returns=num_parts) if num_parts > 1 else split
     shard_lists = [split_n.remote(b) for b in block_refs]
     if num_parts == 1:
         shard_lists = [[r] for r in shard_lists]
-    return [concat.remote(*[sl[p] for sl in shard_lists]) for p in range(num_parts)]
+    # transpose: per-partition shard lists
+    return [[sl[p] for sl in shard_lists] for p in range(num_parts)]
+
+
+def hash_exchange(ds, key_col: str, num_parts: int):
+    """Dataset -> list of per-partition ObjectRef[pa.Table] (co-partitioned
+    by hash(key) % num_parts).  Every ref is a schema-ful Arrow table
+    (possibly 0 rows); nothing is pulled to the driver.  Prefer the fused
+    hash_exchange_apply / exchange_shards when the consumer is a single
+    per-partition fn — this materialized form is for partitions that are
+    REUSED (zip joins, multi-round label propagation)."""
+    import ray
+
+    @ray.remote
+    def concat(*shards):
+        return pa.concat_tables(shards, promote_options="default")
+
+    per_part = exchange_shards(ds, key_col, num_parts)
+    if per_part is None:
+        # zero-block dataset: emit schema-ful empties (concat_tables of
+        # nothing raises; downstream still needs a stable schema)
+        empty = ray.put(_empty_exchange_table(ds, key_col))
+        return [empty for _ in range(num_parts)]
+    return [concat.remote(*shards) for shards in per_part]
 
 
 def hash_exchange_apply(ds, key_col: str, num_parts: int, reduce_fn,
@@ -224,34 +254,17 @@ def hash_exchange_apply(ds, key_col: str, num_parts: int, reduce_fn,
     import ray
     import ray.data
 
-    @ray.remote
-    def split(block: pa.Table):
-        if map_fn is not None:
-            block = map_fn(block)
-        parts = _hash_part(block, key_col, num_parts)
-        return parts[0] if num_parts == 1 else tuple(parts)
-
     @ray.remote(num_returns=2)
     def reduce(*shards):
         out = reduce_fn(pa.concat_tables(shards, promote_options="default"))
         return out, out.num_rows
 
-    block_refs = ds.to_arrow_refs()
-    if not block_refs:
-        schema = ds.schema()
-        arrow_schema = getattr(schema, "base_schema", None) if schema else None
-        if arrow_schema is None:
-            arrow_schema = pa.schema([(key_col, pa.null())])
-        tbl = arrow_schema.empty_table()
-        if map_fn is not None:
-            tbl = map_fn(tbl)
-        return ray.data.from_arrow(reduce_fn(tbl))
-    split_n = split.options(num_returns=num_parts) if num_parts > 1 else split
-    shard_lists = [split_n.remote(b) for b in block_refs]
-    if num_parts == 1:
-        shard_lists = [[r] for r in shard_lists]
-    pairs = [reduce.remote(*[sl[p] for sl in shard_lists])
-             for p in range(num_parts)]
+    per_part = exchange_shards(ds, key_col, num_parts, map_fn=map_fn)
+    if per_part is None:
+        return ray.data.from_arrow(
+            reduce_fn(_empty_exchange_table(ds, key_col, map_fn))
+        )
+    pairs = [reduce.remote(*shards) for shards in per_part]
     counts = ray.get([n for _, n in pairs])
     refs = [t for (t, _), n in zip(pairs, counts) if n > 0]
     if not refs:
@@ -302,6 +315,69 @@ def zip_partitions_to_dataset(parts_a, parts_b, fn):
     return ray.data.from_arrow_refs(refs)
 
 
+def zip_exchange_apply(ds_a, ds_b, key_a: str, key_b: str,
+                       num_parts: int, fn):
+    """Fused zip exchange: both sides split by the same partitioner; ONE
+    task per partition concats its shards from both sides and applies
+    `fn(table_a, table_b)` — neither side's concat'd partition ever hits
+    the object store (vs hash_exchange x2 + zip_partitions_to_dataset)."""
+    import ray
+    import ray.data
+
+    @ray.remote(num_returns=2)
+    def run(n_a, *shards):
+        ta = pa.concat_tables(shards[:n_a], promote_options="default")
+        tb = pa.concat_tables(shards[n_a:], promote_options="default")
+        out = fn(ta, tb)
+        return out, out.num_rows
+
+    sa = exchange_shards(ds_a, key_a, num_parts)
+    sb = exchange_shards(ds_b, key_b, num_parts)
+    if sa is None or sb is None:
+        # zero-block side(s): rare degenerate path — fall back to the
+        # materialized form, whose empty handling is schema-exact
+        return zip_partitions_to_dataset(
+            hash_exchange(ds_a, key_a, num_parts),
+            hash_exchange(ds_b, key_b, num_parts),
+            fn,
+        )
+    pairs = [run.remote(len(a), *a, *b) for a, b in zip(sa, sb)]
+    counts = ray.get([n for _, n in pairs])
+    refs = [t for (t, _), n in zip(pairs, counts) if n > 0]
+    if not refs:
+        refs = [pairs[0][0]]
+    return ray.data.from_arrow_refs(refs)
+
+
+def zip_shards_with_parts(ds, key_col: str, num_parts: int, static_parts,
+                          fn):
+    """Fused zip of a fresh exchange against PINNED partition refs (e.g.
+    a static edge table exchanged once, labels re-exchanged every round):
+    one task per partition concats the fresh side's shards and applies
+    `fn(static_table, fresh_table)`."""
+    import ray
+    import ray.data
+
+    @ray.remote(num_returns=2)
+    def run(static_tbl, *shards):
+        out = fn(static_tbl,
+                 pa.concat_tables(shards, promote_options="default"))
+        return out, out.num_rows
+
+    sh = exchange_shards(ds, key_col, num_parts)
+    if sh is None:
+        return zip_partitions_to_dataset(
+            static_parts, hash_exchange(ds, key_col, num_parts), fn
+        )
+    pairs = [run.remote(sp, *shards)
+             for sp, shards in zip(static_parts, sh)]
+    counts = ray.get([n for _, n in pairs])
+    refs = [t for (t, _), n in zip(pairs, counts) if n > 0]
+    if not refs:
+        refs = [pairs[0][0]]
+    return ray.data.from_arrow_refs(refs)
+
+
 def hash_join(left_ds, right_ds, key_col: str, num_parts: int = 32,
               how: str = "inner", right_on: str | None = None):
     """Hash-partitioned equi-join of two Datasets -> Dataset.
@@ -314,23 +390,36 @@ def hash_join(left_ds, right_ds, key_col: str, num_parts: int = 32,
     broadcast pattern (stages/pip.py) — this is the both-sides-large path."""
     rk = right_on or key_col
     join_type = {"inner": "inner", "left": "left outer"}.get(how, how)
-    left_parts = hash_exchange(left_ds, key_col, num_parts)
-    right_parts = hash_exchange(right_ds, rk, num_parts)
-
-    def join_part(pair):
-        lt, rt = pair
-        return lt.join(rt, keys=key_col, right_keys=rk, join_type=join_type)
 
     import ray
-
-    @ray.remote(num_returns=2)
-    def run(lt, rt):
-        out = join_part((lt, rt))
-        return out, out.num_rows
-
     import ray.data
 
-    pairs = [run.remote(l, r) for l, r in zip(left_parts, right_parts)]
+    # fused: each join task concats its own shards from BOTH sides — the
+    # per-partition concat outputs never hit the object store
+    @ray.remote(num_returns=2)
+    def run(n_left, *shards):
+        lt = pa.concat_tables(shards[:n_left], promote_options="default")
+        rt = pa.concat_tables(shards[n_left:], promote_options="default")
+        out = lt.join(rt, keys=key_col, right_keys=rk, join_type=join_type)
+        return out, out.num_rows
+
+    left_shards = exchange_shards(left_ds, key_col, num_parts)
+    right_shards = exchange_shards(right_ds, rk, num_parts)
+    if left_shards is None or right_shards is None:
+        lt = _empty_exchange_table(left_ds, key_col)
+        rt = _empty_exchange_table(right_ds, rk)
+        if left_shards is not None or right_shards is not None:
+            # one side has data: still need its schema for the join output
+            src_sh = left_shards if left_shards is not None else right_shards
+            got = ray.get(src_sh[0][0])
+            if left_shards is not None:
+                lt = got.slice(0, 0)
+            else:
+                rt = got.slice(0, 0)
+        out = lt.join(rt, keys=key_col, right_keys=rk, join_type=join_type)
+        return ray.data.from_arrow(out)
+    pairs = [run.remote(len(ls), *ls, *rs)
+             for ls, rs in zip(left_shards, right_shards)]
     counts = ray.get([n for _, n in pairs])
     refs = [t for (t, _), n in zip(pairs, counts) if n > 0]
     if not refs:
@@ -429,18 +518,22 @@ def lsh_candidate_pairs(bands_ds, id_col: str, bucket_col: str,
     (triu_indices per segment-length class / repeat+gather per chunk)."""
     import ray
 
-    bucket_parts = hash_exchange(bands_ds, bucket_col, num_parts)
-
-    # ONE sort+dedup pass per partition; both emission passes below read
-    # the prepped (sorted, unique) refs and recompute segments in O(n)
+    # ONE fused concat+sort+dedup pass per partition (the shard concat
+    # happens inside prep — no materialized raw partition); both emission
+    # passes below read the prepped (sorted, unique) refs in O(n)
     @ray.remote
-    def prep(tbl: pa.Table) -> pa.Table:
+    def prep(*shards) -> pa.Table:
+        tbl = pa.concat_tables(shards, promote_options="default")
         if tbl.num_rows == 0:
             return pa.table({bucket_col: tbl[bucket_col], id_col: tbl[id_col]})
         b_s, i_s = _sort_unique_bucket_ids(tbl, id_col, bucket_col)
         return pa.table({bucket_col: b_s, id_col: i_s})
 
-    prepped = [prep.remote(p) for p in bucket_parts]
+    per_part = exchange_shards(bands_ds, bucket_col, num_parts)
+    if per_part is None:
+        empty = ray.put(_empty_exchange_table(bands_ds, bucket_col))
+        per_part = [[empty] for _ in range(num_parts)]
+    prepped = [prep.remote(*shards) for shards in per_part]
 
     empty_pairs = pa.table({a_col: pa.array([], pa.int64()),
                             b_col: pa.array([], pa.int64())})
@@ -585,8 +678,9 @@ def topk_merge_partials(partials, merge_fn, merge: str = "single",
         return partials.repartition(1).map_batches(
             merge_fn, batch_format="pyarrow"
         )
-    parts = hash_exchange(partials, key_col, default_num_parts())
-    return partitions_to_dataset(parts, merge_fn)
+    return hash_exchange_apply(
+        partials, key_col, default_num_parts(), merge_fn
+    )
 
 
 def hot_key_histogram(ds, key_col: str, top_n: int = 64):
