@@ -203,6 +203,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
         )
 
+    def q_range_join(sf_dir: str):
+        return textops.range_join_counts(
+            _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+        )
+
+    def q_quantiles(sf_dir: str):
+        return textops.quantiles_by_key(
+            _read(sf_dir, "events", columns=["event_type", "value"])
+        )
+
     def q_quality(sf_dir: str):
         return textops.quality(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
@@ -402,6 +412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_per_type": q_distinct_users,
         "events_sessions_30m": q_sessions,
         "events_asof_purchase_view": q_asof,
+        "events_range_join_1h": q_range_join,
+        "events_quantiles_by_type": q_quantiles,
         "doc_quality": q_quality,
         "doc_near_dup_pairs": q_near_dup,
         "doc_char_ngram_dedup": q_char_ngram_dedup,
@@ -530,6 +542,24 @@ WHERE bit_count(xor(sa.sig, sb.sig)) <= 7"""
             "WHERE event_type = 'purchase') "
             "SELECT p.purchase_id, v.view_id "
             "FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.ts < p.ts"
+        ),
+        "events_range_join_1h": (
+            "SELECT p.event_id AS purchase_id, count(v.event_id)::BIGINT AS n_views "
+            "FROM events p LEFT JOIN events v "
+            "ON v.user_id = p.user_id AND v.event_type = 'view' "
+            "AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000 "
+            "AND epoch_us(v.ts) < epoch_us(p.ts) "
+            "WHERE p.event_type = 'purchase' GROUP BY 1"
+        ),
+        "events_quantiles_by_type": (
+            "WITH r AS (SELECT event_type, value, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk, "
+            "count(*) OVER (PARTITION BY event_type) AS n FROM events) "
+            "SELECT event_type, max(n)::BIGINT AS n, "
+            "max(CASE WHEN rk = (50*n + 99)//100 THEN value END) AS p50, "
+            "max(CASE WHEN rk = (90*n + 99)//100 THEN value END) AS p90, "
+            "max(CASE WHEN rk = (99*n + 99)//100 THEN value END) AS p99 "
+            "FROM r GROUP BY 1"
         ),
         "events_sessions_30m": (
             "WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER "

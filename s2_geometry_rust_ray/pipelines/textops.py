@@ -532,3 +532,149 @@ def window_counts(ds):
     kernel — one implementation, two grids (the SQL twin matches because
     us // 3600e6 * 3600e6 // 1e6 == epoch(date_trunc('hour', ts)))."""
     return sliding_window_counts(ds, window_minutes=60, hop_minutes=60)
+
+
+def range_join_counts(ds, left_type: str = "purchase",
+                      right_type: str = "view", window_minutes: int = 60,
+                      num_parts: int | None = None):
+    """Range (interval) join over the events log: for each `left_type`
+    event, the number of same-user `right_type` events with ts in
+    [left_ts - window, left_ts).  Output (purchase_id, n_views) — every
+    left event appears, 0 when no match (LEFT-join semantics).  Integer
+    count of integer-microsecond comparisons => bit-exact vs the DuckDB
+    interval-join twin.
+
+    Physical plan: FUSED hash-exchange by user_id, then ONE vectorized
+    cumulative-count merge per partition — no per-user loop, no pair
+    blow-up: count(lo <= t < hi) = C(hi) - C(lo) where C(x) = number of
+    right-events strictly before (user, x) in the lexicographic order;
+    the per-user baselines cancel because both probes live in the same
+    user's contiguous run.  Right events sort AFTER an equal-timestamp
+    probe (kind asc) so C is strictly-less-than, matching the twin's
+    half-open window."""
+    import pyarrow as pa
+
+    from ..stages import exchange
+
+    if num_parts is None:
+        num_parts = exchange.default_num_parts()
+    win_us = np.int64(window_minutes) * 60_000_000
+
+    def project(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == left_type) | (et == right_type)
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        return pa.table(
+            {
+                "event_id": batch["event_id"].to_numpy(zero_copy_only=False)[keep],
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False)[keep],
+                "ts_us": ts.astype(np.int64)[keep],
+                "is_left": (et[keep] == left_type),
+            }
+        )
+
+    def per_partition(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"purchase_id": pa.array([], pa.int64()),
+                          "n_views": pa.array([], pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        u = tbl["user_id"].to_numpy(zero_copy_only=False)
+        t = tbl["ts_us"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        left = tbl["is_left"].to_numpy(zero_copy_only=False).astype(bool)
+        lu, lt_, lid = u[left], t[left], eid[left]
+        ru, rt = u[~left], t[~left]
+        if len(lid) == 0:
+            return empty
+        m = len(lid)
+        # probe stream: 2 probes per left event (hi = ts, lo = ts - win);
+        # kind 0 = probe, 1 = right event — at equal (user, ts) the probe
+        # sorts FIRST, so the running count excludes ties (strict <)
+        all_u = np.concatenate([ru, lu, lu])
+        all_t = np.concatenate([rt, lt_, lt_ - win_us])
+        kind = np.concatenate([
+            np.ones(len(ru), dtype=np.int8),
+            np.zeros(2 * m, dtype=np.int8),
+        ])
+        order = np.lexsort((kind, all_t, all_u))
+        cum = np.cumsum(kind[order])  # right-events at or before position
+        # count of rights strictly before each probe = cum at the probe's
+        # position minus the probe's own contribution (0)
+        pos = np.empty(len(order), dtype=np.int64)
+        pos[order] = np.arange(len(order))
+        c_hi = cum[pos[len(ru):len(ru) + m]]
+        c_lo = cum[pos[len(ru) + m:]]
+        n = (c_hi - c_lo).astype(np.int64)
+        return pa.table({"purchase_id": lid, "n_views": n})
+
+    return exchange.hash_exchange_apply(
+        ds, "user_id", num_parts, per_partition, map_fn=project
+    )
+
+
+def quantiles_by_key(ds, key_col: str = "event_type", val_col: str = "value",
+                     qs: tuple = (50, 90, 99)):
+    """EXACT per-key discrete quantiles of a value column: for each key,
+    the element of rank ceil(q/100 * n) (1-indexed, values ascending).
+    Output (event_type, n, p50, p90, p99).  Selects ACTUAL stored doubles
+    (no arithmetic on values), so the SQL twin (row_number + count window)
+    is bit-exact.
+
+    Scale path: a map-side (key, value) -> count combine bounds the
+    exchange by the number of DISTINCT (key, value) pairs (real-world
+    value columns are low-cardinality: prices, scores, durations), NOT by
+    the row count; the per-key quantile walk is a cumsum over the distinct
+    values of one key co-located by the hash final.  No driver
+    materialization; no assumption that one key's raw rows fit anywhere."""
+    import pyarrow as pa
+
+    from ..stages import agg, exchange
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                val_col: batch[val_col],
+                "cnt": np.ones(batch.num_rows, dtype=np.int64),
+            }
+        )
+
+    pairs = ds.map_batches(to_pairs, batch_format="pyarrow")
+    counts = agg.reduce_by_key_multi(
+        pairs, [key_col, val_col], {"cnt": "sum"}, final="hash"
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        cols = {key_col: pa.array([], pa.string()),
+                "n": pa.array([], pa.int64())}
+        for q in qs:
+            cols[f"p{q}"] = pa.array([], pa.float64())
+        if tbl.num_rows == 0:
+            return pa.table(cols)
+        k = np.asarray(tbl[key_col].to_numpy(zero_copy_only=False))
+        v = tbl[val_col].to_numpy(zero_copy_only=False)
+        c = tbl["cnt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, k))
+        k, v, c = k[order], v[order], c[order]
+        starts = np.concatenate(([0], np.nonzero(k[1:] != k[:-1])[0] + 1))
+        ends = np.concatenate((starts[1:], [len(k)]))
+        out_k, out_n = [], []
+        out_q = {q: [] for q in qs}
+        for s, e in zip(starts, ends):
+            cs = np.cumsum(c[s:e])
+            n = int(cs[-1])
+            out_k.append(k[s])
+            out_n.append(n)
+            for q in qs:
+                rank = -(-q * n // 100)  # ceil(q*n/100), 1-indexed
+                out_q[q].append(v[s + np.searchsorted(cs, rank)])
+        cols = {key_col: pa.array(out_k, pa.string()),
+                "n": np.asarray(out_n, dtype=np.int64)}
+        for q in qs:
+            cols[f"p{q}"] = np.asarray(out_q[q], dtype=np.float64)
+        return pa.table(cols)
+
+    # tiny second exchange: co-locate each key's distinct values
+    return exchange.hash_exchange_apply(
+        counts, key_col, exchange.default_num_parts(), finish
+    )

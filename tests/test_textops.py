@@ -493,3 +493,82 @@ def test_reduce_by_key_hash_final_one_row_per_key(ray_session):
     assert out["k"].is_unique and len(out) == df["k"].nunique()
     want = df.groupby("k")["x"].min()
     assert dict(zip(out["k"], out["x"])) == want.to_dict()
+
+
+def test_range_join_counts_vs_bruteforce(ray_session):
+    """Vectorized cumulative-count range join == per-purchase O(n) scan,
+    including half-open boundary semantics (ts == purchase_ts excluded,
+    ts == purchase_ts - window included)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from s2_geometry_rust_ray.pipelines import textops
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_id", "ts", "user_id", "event_type"])
+    got = (
+        textops.range_join_counts(ray.data.from_arrow(t), num_parts=4)
+        .to_pandas().sort_values("purchase_id").reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    df["us"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    views = df[df["event_type"] == "view"]
+    pur = df[df["event_type"] == "purchase"]
+    win = 3_600_000_000
+    exp = []
+    for _, p in pur.iterrows():
+        v = views[views["user_id"] == p["user_id"]]
+        n = int(((v["us"] >= p["us"] - win) & (v["us"] < p["us"])).sum())
+        exp.append((p["event_id"], n))
+    exp = pd.DataFrame(exp, columns=["purchase_id", "n_views"]).sort_values(
+        "purchase_id").reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    assert (got["purchase_id"].values == exp["purchase_id"].values).all()
+    assert (got["n_views"].values == exp["n_views"].values).all()
+
+
+def test_range_join_boundary_ties(ray_session):
+    """Events exactly AT the window edges: ts == p.ts excluded, ts ==
+    p.ts - window included (half-open [lo, hi))."""
+    import pyarrow as pa
+    import ray.data
+
+    from s2_geometry_rust_ray.pipelines import textops
+
+    base = 1_700_000_000_000_000
+    win = 3_600_000_000
+    rows = {
+        "event_id": [1, 2, 3, 4, 5],
+        "ts": np.array(
+            [base, base - win, base - win - 1, base - 1, base],
+            dtype="datetime64[us]",
+        ),
+        "user_id": [7, 7, 7, 7, 7],
+        "event_type": ["purchase", "view", "view", "view", "view"],
+    }
+    out = textops.range_join_counts(
+        ray.data.from_arrow(pa.table(rows)), num_parts=2
+    ).to_pandas()
+    # id2 (== lo) in, id3 (< lo) out, id4 (< hi) in, id5 (== hi) out
+    assert out.to_dict("records") == [{"purchase_id": 1, "n_views": 2}]
+
+
+def test_quantiles_by_key_vs_numpy(ray_session):
+    """Exact rank-ceil(q*n) selection == sorted-array indexing per key."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from s2_geometry_rust_ray.pipelines import textops
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "value"])
+    got = (
+        textops.quantiles_by_key(ray.data.from_arrow(t))
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    for _, r in got.iterrows():
+        v = np.sort(df[df["event_type"] == r["event_type"]]["value"].values)
+        assert r["n"] == len(v)
+        for q in (50, 90, 99):
+            rank = -(-q * len(v) // 100)
+            assert r[f"p{q}"] == v[rank - 1]
