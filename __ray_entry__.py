@@ -203,6 +203,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
         )
 
+    def q_brand_sales(sf_dir: str):
+        import pyarrow.parquet as pq
+
+        from s2_geometry_rust_ray.stages import agg, exchange
+
+        part_tbl = pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+        )
+        li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+        joined = exchange.broadcast_join(
+            li, part_tbl, "l_partkey", right_on="p_partkey"
+        )
+
+        def project(batch):
+            import numpy as np
+            import pyarrow as pa
+
+            return pa.table({
+                "p_brand": batch["p_brand"],
+                "n": np.ones(batch.num_rows, dtype=np.int64),
+                "sum_qty": batch["l_quantity"]
+                .to_numpy(zero_copy_only=False).astype(np.int64),
+            })
+
+        return agg.reduce_by_key_multi(
+            joined.map_batches(project, batch_format="pyarrow"),
+            ["p_brand"], {"n": "sum", "sum_qty": "sum"}, final="single",
+        )
+
     def q_range_join(sf_dir: str):
         return textops.range_join_counts(
             _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
@@ -412,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_per_type": q_distinct_users,
         "events_sessions_30m": q_sessions,
         "events_asof_purchase_view": q_asof,
+        "lineitem_brand_sales": q_brand_sales,
         "events_range_join_1h": q_range_join,
         "events_quantiles_by_type": q_quantiles,
         "doc_quality": q_quality,
@@ -542,6 +572,11 @@ WHERE bit_count(xor(sa.sig, sb.sig)) <= 7"""
             "WHERE event_type = 'purchase') "
             "SELECT p.purchase_id, v.view_id "
             "FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.ts < p.ts"
+        ),
+        "lineitem_brand_sales": (
+            "SELECT p_brand, count(*)::BIGINT AS n, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1"
         ),
         "events_range_join_1h": (
             "SELECT p.event_id AS purchase_id, count(v.event_id)::BIGINT AS n_views "

@@ -315,6 +315,56 @@ def zip_partitions_to_dataset(parts_a, parts_b, fn):
     return ray.data.from_arrow_refs(refs)
 
 
+class _BroadcastJoiner:
+    """Per-worker state for broadcast_join: the right table is ray.put
+    ONCE; each worker deserializes it once (actor_map closure cache) and
+    builds a sorted-key index once.  Lookup per batch is one vectorized
+    searchsorted — no shuffle of the big side ever happens."""
+
+    def __init__(self, right: pa.Table, key_col: str, right_on: str):
+        self.key_col = key_col
+        self.right_on = right_on
+        rk = right[right_on].to_numpy(zero_copy_only=False)
+        self.order = np.argsort(rk, kind="stable")
+        self.sorted_keys = rk[self.order]
+        self.right = right.drop_columns([right_on])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        k = batch[self.key_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(self.sorted_keys, k)
+        pos = np.clip(pos, 0, len(self.sorted_keys) - 1)
+        hit = self.sorted_keys[pos] == k
+        left = batch.take(pa.array(np.nonzero(hit)[0]))
+        attach = self.right.take(pa.array(self.order[pos[hit]]))
+        out = left
+        for name in attach.column_names:
+            out = out.append_column(name, attach[name])
+        return out
+
+
+def broadcast_join(ds, right_tbl: pa.Table, key_col: str,
+                   right_on: str | None = None, columns=None):
+    """Map-side INNER equi-join of a Dataset against a BROADCAST small
+    table (dimension-table pattern): the right side is put in the object
+    store once and indexed once per worker; each batch does one
+    vectorized searchsorted.  Right keys must be UNIQUE (dimension key).
+    `columns` prunes the attached right columns.  This is the
+    never-shuffle-the-big-side path; for two large sides use hash_join."""
+    import ray
+
+    rk = right_on or key_col
+    if columns is not None:
+        right_tbl = right_tbl.select([rk] + [c for c in columns if c != rk])
+    return actor_map(
+        ds,
+        _BroadcastJoiner,
+        fn_constructor_kwargs={
+            "right": ray.put(right_tbl), "key_col": key_col, "right_on": rk,
+        },
+        batch_format="pyarrow",
+    )
+
+
 def zip_exchange_apply(ds_a, ds_b, key_a: str, key_b: str,
                        num_parts: int, fn):
     """Fused zip exchange: both sides split by the same partitioner; ONE

@@ -351,3 +351,38 @@ def test_covering_tiles_grid_bounds_snake_polygons(ray_session):
     ).reset_index(drop=True)
     assert len(a) > 0
     assert a.equals(b)
+
+
+def test_broadcast_join_matches_pyarrow_join(ray_session):
+    """Map-side broadcast join == pyarrow inner join, including unmatched
+    left rows dropped and right column pruning."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from s2_geometry_rust_ray.stages import exchange
+
+    rng = np.random.default_rng(5)
+    left = pa.table({
+        "k": rng.integers(0, 40, 500),   # some keys miss the right side
+        "x": np.arange(500, dtype=np.int64),
+    })
+    right = pa.table({
+        "rk": np.arange(0, 30, dtype=np.int64),
+        "name": [f"n{i}" for i in range(30)],
+        "extra": np.arange(30, dtype=np.float64),
+    })
+    got = (
+        exchange.broadcast_join(
+            ray.data.from_arrow(left), right, "k",
+            right_on="rk", columns=["name"],
+        )
+        .to_pandas().sort_values(["x"]).reset_index(drop=True)
+    )
+    exp = (
+        left.join(right.select(["rk", "name"]), keys="k", right_keys="rk",
+                  join_type="inner")
+        .to_pandas().sort_values(["x"]).reset_index(drop=True)
+    )
+    assert list(got.columns) == ["k", "x", "name"]
+    assert got.equals(exp[["k", "x", "name"]])
