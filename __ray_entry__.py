@@ -223,8 +223,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return pa.table({
                 "p_brand": batch["p_brand"],
                 "n": np.ones(batch.num_rows, dtype=np.int64),
-                "sum_qty": batch["l_quantity"]
-                .to_numpy(zero_copy_only=False).astype(np.int64),
+                "sum_qty": np.trunc(
+                    batch["l_quantity"].to_numpy(zero_copy_only=False)
+                ).astype(np.int64),
             })
 
         return agg.reduce_by_key_multi(
@@ -575,7 +576,7 @@ WHERE bit_count(xor(sa.sig, sb.sig)) <= 7"""
         ),
         "lineitem_brand_sales": (
             "SELECT p_brand, count(*)::BIGINT AS n, "
-            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+            "CAST(sum(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty "
             "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1"
         ),
         "events_range_join_1h": (

@@ -239,8 +239,9 @@ def run_benchmarks() -> dict:
         # same methodology as the pip family: materialize the synthetic
         # source untimed, and fix the partition count across slot levels
         # (a cpu-scaled num_parts would give each level a DIFFERENT
-        # physical plan — more split outputs, more concat tasks — not the
-        # same job at less parallelism; 32 = 2/cpu at the largest level)
+        # physical plan — more split outputs, more reduce tasks — not the
+        # same job at less parallelism; 32 = 4/cpu at the 8-slot level of
+        # the canonical 2->8 pair)
         inp = expanded_events(SF_DIR, EXPAND).materialize()
         t0 = time.perf_counter()
         textops.sessionize(inp, gap_minutes=30, num_parts=32).count()
@@ -433,8 +434,8 @@ def run_scaling() -> dict:
 
     GRAFT_SCALING_FAMILIES (default 'encode,pip,sessions') runs the
     measurement per physical plan family: encode (map-side-combine
-    aggregate), pip (broadcast actor pool), sessions (raw-Ray hash
-    exchange) — the >=0.8 criterion is evidenced on each family, not just
+    aggregate), pip (broadcast task-pool map), sessions (raw-Ray fused
+    hash exchange) — the >=0.8 criterion is evidenced on each family, not just
     the aggregate headline.  Per-family expands size the 2-slot run to
     ~1-2 min each (GRAFT_SCALING_EXPAND overrides all)."""
     levels = [int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "2,8,32").split(",")]

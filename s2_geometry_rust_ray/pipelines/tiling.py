@@ -203,11 +203,22 @@ def cap_bounds(ds: "ray.data.Dataset", key_col: str, level: int = 5,
              "n": counts.astype(np.int64), "r2": r2}
         )
 
+    def project_chunked(batch: pa.Table) -> pa.Table:
+        # split tasks see WHOLE blocks; cap the geotag+encode temporaries
+        # (several float64 arrays per row) at 64k rows per slice — the
+        # memory bound the former map_batches(batch_size=65536) provided
+        if batch.num_rows <= 65536:
+            return project(batch)
+        return pa.concat_tables(
+            [project(batch.slice(i, 65536))
+             for i in range(0, batch.num_rows, 65536)]
+        )
+
     # fused exchange: the geotag+encode+project runs inside the split
     # task, the per-tile cap fold in the shard-concat task (one plasma
     # round-trip for the 5-column payload)
     return exchange.hash_exchange_apply(
-        ds, "tile", num_parts, per_partition, map_fn=project
+        ds, "tile", num_parts, per_partition, map_fn=project_chunked
     )
 
 

@@ -237,6 +237,21 @@ def hash_exchange(ds, key_col: str, num_parts: int):
     return [concat.remote(*shards) for shards in per_part]
 
 
+def _pairs_to_dataset(pairs):
+    """Shared exchange epilogue: (table_ref, nrows_ref) pairs -> Dataset.
+    Empty partitions are dropped via the tiny count refs (the driver never
+    fetches a payload); if everything is empty ONE schema-ful empty table
+    is kept so the Dataset has a stable schema."""
+    import ray
+    import ray.data
+
+    counts = ray.get([n for _, n in pairs])
+    refs = [t for (t, _), n in zip(pairs, counts) if n > 0]
+    if not refs:
+        refs = [pairs[0][0]]
+    return ray.data.from_arrow_refs(refs)
+
+
 def hash_exchange_apply(ds, key_col: str, num_parts: int, reduce_fn,
                         map_fn=None):
     """Fused one-round exchange: Dataset -> Dataset via
@@ -265,11 +280,7 @@ def hash_exchange_apply(ds, key_col: str, num_parts: int, reduce_fn,
             reduce_fn(_empty_exchange_table(ds, key_col, map_fn))
         )
     pairs = [reduce.remote(*shards) for shards in per_part]
-    counts = ray.get([n for _, n in pairs])
-    refs = [t for (t, _), n in zip(pairs, counts) if n > 0]
-    if not refs:
-        refs = [pairs[0][0]]
-    return ray.data.from_arrow_refs(refs)
+    return _pairs_to_dataset(pairs)
 
 
 def partitions_to_dataset(parts, fn=None):
@@ -287,11 +298,7 @@ def partitions_to_dataset(parts, fn=None):
         return out, out.num_rows
 
     pairs = [apply.remote(p) for p in parts]
-    counts = ray.get([n for _, n in pairs])
-    refs = [t for (t, _), n in zip(pairs, counts) if n > 0]
-    if not refs:
-        refs = [pairs[0][0]]
-    return ray.data.from_arrow_refs(refs)
+    return _pairs_to_dataset(pairs)
 
 
 def zip_partitions_to_dataset(parts_a, parts_b, fn):
@@ -308,11 +315,7 @@ def zip_partitions_to_dataset(parts_a, parts_b, fn):
         return out, out.num_rows
 
     pairs = [apply.remote(a, b) for a, b in zip(parts_a, parts_b)]
-    counts = ray.get([n for _, n in pairs])
-    refs = [t for (t, _), n in zip(pairs, counts) if n > 0]
-    if not refs:
-        refs = [pairs[0][0]]
-    return ray.data.from_arrow_refs(refs)
+    return _pairs_to_dataset(pairs)
 
 
 class _BroadcastJoiner:
@@ -327,13 +330,25 @@ class _BroadcastJoiner:
         rk = right[right_on].to_numpy(zero_copy_only=False)
         self.order = np.argsort(rk, kind="stable")
         self.sorted_keys = rk[self.order]
+        if len(self.sorted_keys) > 1 and (
+            self.sorted_keys[1:] == self.sorted_keys[:-1]
+        ).any():
+            # searchsorted attaches only the FIRST matching right row — a
+            # duplicated dimension key would silently under-join
+            raise ValueError(
+                f"broadcast_join right key '{right_on}' is not unique"
+            )
         self.right = right.drop_columns([right_on])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         k = batch[self.key_col].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(self.sorted_keys, k)
-        pos = np.clip(pos, 0, len(self.sorted_keys) - 1)
-        hit = self.sorted_keys[pos] == k
+        if len(self.sorted_keys) == 0:
+            hit = np.zeros(len(k), dtype=bool)
+            pos = np.zeros(len(k), dtype=np.int64)
+        else:
+            pos = np.searchsorted(self.sorted_keys, k)
+            pos = np.clip(pos, 0, len(self.sorted_keys) - 1)
+            hit = self.sorted_keys[pos] == k
         left = batch.take(pa.array(np.nonzero(hit)[0]))
         attach = self.right.take(pa.array(self.order[pos[hit]]))
         out = left
@@ -384,19 +399,14 @@ def zip_exchange_apply(ds_a, ds_b, key_a: str, key_b: str,
     sa = exchange_shards(ds_a, key_a, num_parts)
     sb = exchange_shards(ds_b, key_b, num_parts)
     if sa is None or sb is None:
-        # zero-block side(s): rare degenerate path — fall back to the
-        # materialized form, whose empty handling is schema-exact
-        return zip_partitions_to_dataset(
-            hash_exchange(ds_a, key_a, num_parts),
-            hash_exchange(ds_b, key_b, num_parts),
-            fn,
-        )
+        # zero-block side(s): pair the populated side's ALREADY-SPLIT
+        # shards (no re-split) with a schema-ful empty for the other side
+        ea = ray.put(_empty_exchange_table(ds_a, key_a))
+        eb = ray.put(_empty_exchange_table(ds_b, key_b))
+        sa = sa if sa is not None else [[ea]] * num_parts
+        sb = sb if sb is not None else [[eb]] * num_parts
     pairs = [run.remote(len(a), *a, *b) for a, b in zip(sa, sb)]
-    counts = ray.get([n for _, n in pairs])
-    refs = [t for (t, _), n in zip(pairs, counts) if n > 0]
-    if not refs:
-        refs = [pairs[0][0]]
-    return ray.data.from_arrow_refs(refs)
+    return _pairs_to_dataset(pairs)
 
 
 def zip_shards_with_parts(ds, key_col: str, num_parts: int, static_parts,
@@ -416,16 +426,11 @@ def zip_shards_with_parts(ds, key_col: str, num_parts: int, static_parts,
 
     sh = exchange_shards(ds, key_col, num_parts)
     if sh is None:
-        return zip_partitions_to_dataset(
-            static_parts, hash_exchange(ds, key_col, num_parts), fn
-        )
+        e = ray.put(_empty_exchange_table(ds, key_col))
+        sh = [[e]] * len(static_parts)
     pairs = [run.remote(sp, *shards)
              for sp, shards in zip(static_parts, sh)]
-    counts = ray.get([n for _, n in pairs])
-    refs = [t for (t, _), n in zip(pairs, counts) if n > 0]
-    if not refs:
-        refs = [pairs[0][0]]
-    return ray.data.from_arrow_refs(refs)
+    return _pairs_to_dataset(pairs)
 
 
 def hash_join(left_ds, right_ds, key_col: str, num_parts: int = 32,
@@ -456,25 +461,42 @@ def hash_join(left_ds, right_ds, key_col: str, num_parts: int = 32,
     left_shards = exchange_shards(left_ds, key_col, num_parts)
     right_shards = exchange_shards(right_ds, rk, num_parts)
     if left_shards is None or right_shards is None:
-        lt = _empty_exchange_table(left_ds, key_col)
-        rt = _empty_exchange_table(right_ds, rk)
-        if left_shards is not None or right_shards is not None:
-            # one side has data: still need its schema for the join output
-            src_sh = left_shards if left_shards is not None else right_shards
-            got = ray.get(src_sh[0][0])
-            if left_shards is not None:
-                lt = got.slice(0, 0)
-            else:
-                rt = got.slice(0, 0)
-        out = lt.join(rt, keys=key_col, right_keys=rk, join_type=join_type)
-        return ray.data.from_arrow(out)
+        # Zero-block side(s): join against a schema-ful empty table IN the
+        # tasks — no driver payload pull, and left-outer keeps all left
+        # rows (joined to nulls).  A schema-less empty side gets its key
+        # typed from the other side's (metadata-only) schema so the
+        # pyarrow join is valid; int64 when both are schema-less.
+        def _typed_empty(ds0, key, other_ds, other_key):
+            tbl = _empty_exchange_table(ds0, key)
+            if pa.types.is_null(tbl[key].type):
+                other = getattr(other_ds.schema(), "base_schema", None)
+                ktype = (other.field(other_key).type
+                         if other is not None
+                         and other_key in other.names
+                         and not pa.types.is_null(other.field(other_key).type)
+                         else pa.int64())
+                tbl = tbl.set_column(
+                    tbl.schema.get_field_index(key), key,
+                    pa.array([], ktype),
+                )
+            return tbl
+
+        if left_shards is None and right_shards is None:
+            lt = _typed_empty(left_ds, key_col, right_ds, rk)
+            rt = _typed_empty(right_ds, rk, left_ds, key_col)
+            out = lt.join(rt, keys=key_col, right_keys=rk,
+                          join_type=join_type)
+            return ray.data.from_arrow(out)
+        if left_shards is None:
+            e = ray.put(_typed_empty(left_ds, key_col, right_ds, rk))
+            pairs = [run.remote(1, e, *rs) for rs in right_shards]
+        else:
+            e = ray.put(_typed_empty(right_ds, rk, left_ds, key_col))
+            pairs = [run.remote(len(ls), *ls, e) for ls in left_shards]
+        return _pairs_to_dataset(pairs)
     pairs = [run.remote(len(ls), *ls, *rs)
              for ls, rs in zip(left_shards, right_shards)]
-    counts = ray.get([n for _, n in pairs])
-    refs = [t for (t, _), n in zip(pairs, counts) if n > 0]
-    if not refs:
-        refs = [pairs[0][0]]
-    return ray.data.from_arrow_refs(refs)
+    return _pairs_to_dataset(pairs)
 
 
 def rename_column(old: str, new: str):

@@ -386,3 +386,49 @@ def test_broadcast_join_matches_pyarrow_join(ray_session):
     )
     assert list(got.columns) == ["k", "x", "name"]
     assert got.equals(exp[["k", "x", "name"]])
+
+
+def test_broadcast_join_empty_right_and_duplicate_keys(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from s2_geometry_rust_ray.stages import exchange
+
+    left = pa.table({"k": np.arange(10, dtype=np.int64)})
+    empty_right = pa.table({"rk": pa.array([], pa.int64()),
+                            "name": pa.array([], pa.string())})
+    out = exchange.broadcast_join(
+        ray.data.from_arrow(left), empty_right, "k", right_on="rk"
+    )
+    assert out.count() == 0
+    dup_right = pa.table({"rk": pa.array([1, 1], pa.int64()),
+                          "name": ["a", "b"]})
+    with pytest.raises(Exception, match="not unique"):
+        exchange.broadcast_join(
+            ray.data.from_arrow(left), dup_right, "k", right_on="rk"
+        ).count()
+
+
+def test_hash_join_zero_block_sides(ray_session):
+    """Zero-block side: no driver payload pull, left-outer keeps all left
+    rows, inner returns none; both-empty doesn't crash on null key types."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from s2_geometry_rust_ray.stages import exchange
+
+    left = ray.data.from_arrow(pa.table({
+        "k": np.arange(20, dtype=np.int64),
+        "x": np.arange(20, dtype=np.int64),
+    }))
+    zero = ray.data.from_items([]) \
+        .map_batches(lambda b: b, batch_format="pyarrow")
+    inner = exchange.hash_join(left, zero, "k", num_parts=4)
+    assert inner.count() == 0
+    louter = exchange.hash_join(left, zero, "k", num_parts=4, how="left")
+    assert louter.count() == 20
+    both = exchange.hash_join(zero, zero, "k", num_parts=4, how="left")
+    assert both.count() == 0
