@@ -314,6 +314,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         queries = rng.normal(size=(10, 64)).astype("float32")
         return simsearch.ann_topk(ds, queries, np.arange(10), k=10)
 
+    def q_ann_ivf(sf_dir: str):
+        # the IVF scale path registered in the driver contract: centroids
+        # trained on a deterministic sample, nprobe covering enough
+        # buckets that the pytest recall oracle holds; rows-only (IVF is
+        # approximate by design — see tests/test_textops.py for the
+        # brute-force recall check)
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from s2_geometry_rust_ray.stages import simsearch
+
+        ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        sample_tbl = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+        ).slice(0, 2048)
+        sample = np.stack(sample_tbl["embedding"].to_numpy(zero_copy_only=False))
+        cent = simsearch.train_centroids(
+            sample.astype("float32"), n_centroids=16
+        )
+        rng = np.random.default_rng(42)
+        queries = rng.normal(size=(10, 64)).astype("float32")
+        return simsearch.ann_topk_ivf(
+            ds, queries, np.arange(10), cent, k=10, nprobe=6
+        )
+
     def q_emb_near_dup_q15(sf_dir: str):
         # exact-arithmetic variant of q_emb_near_dup: same union-with-
         # offset-copy corpus, integer Q15 buckets + dots -> hash-exact twin
@@ -454,6 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann,
         "ann_topk_q15": q_ann_q15,
+        "ann_ivf_topk": q_ann_ivf,
         "emb_near_dup_q15": q_emb_near_dup_q15,
         "emb_near_dup_pairs": q_emb_near_dup,
         "h3_tile_counts_r5": lambda sf_dir: tiling.h3_tile_counts(
