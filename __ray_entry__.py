@@ -397,6 +397,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         path, _ = _images_for_sf(sf_dir)
         return flagship.image_tile_counts(path, level=8)
 
+    def q_img_caption_tiles(sf_dir: str):
+        # the north rule's image+caption multimodal aggregate: per-tile
+        # image count + caption token totals, geometry and text in one
+        # map-side combine; fully hash-exact twin
+        from s2_geometry_rust_ray.pipelines import flagship
+
+        path, _ = _images_for_sf(sf_dir)
+        return flagship.image_caption_token_tiles(path, level=6)
+
     def q_img_phash(sf_dir: str):
         # real PNG decode (from-scratch zlib inflate) -> recomputed phash,
         # oracle = the table's STORED phash column: an end-to-end
@@ -442,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s2_route_buffer_docs": q_route,
         "s2_cap_bounds_l5": q_cap_bounds,
         "img_tile_counts_l8": q_img_tiles,
+        "img_caption_tokens_l6": q_img_caption_tiles,
         "img_phash_verify": q_img_phash,
         "img_phash_near_dup": q_img_phash_near_dup,
         "s2_cell_encode_docs": q_encode_docs,
@@ -523,6 +533,20 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('/tmp/graft_images_{IMG_TABLE_ROWS}/*.parquet')",
             "k", 8,
         ),
+        "img_caption_tokens_l6": osql.cte_encode(
+            "SELECT CAST(substr(image_id, 4) AS BIGINT) AS k "
+            f"FROM read_parquet('/tmp/graft_images_{IMG_TABLE_ROWS}/*.parquet')",
+            "k",
+        ) + f"""
+  SELECT {osql.sql_cell_hex(osql.sql_parent('cell_id', 6))} AS tile_token,
+         count(*) AS n,
+         CAST(sum(cap.tok) AS BIGINT) AS caption_tokens
+  FROM __cell
+  JOIN (SELECT CAST(substr(image_id, 4) AS BIGINT) AS k2,
+               len(regexp_extract_all(caption, '[A-Za-z0-9]+'))::BIGINT AS tok
+        FROM read_parquet('/tmp/graft_images_{IMG_TABLE_ROWS}/*.parquet')) cap
+    ON __cell.key = cap.k2
+  GROUP BY 1""",
         "img_phash_verify": (
             "SELECT image_id, phash "
             f"FROM read_parquet('/tmp/graft_images_{IMG_TABLE_ROWS}/*.parquet')"

@@ -164,3 +164,56 @@ def image_phash_near_dup(images_dir: str, max_hamming: int = 7,
         )
 
     return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def image_caption_token_tiles(images_dir: str, level: int = 6,
+                              final: str = "single"):
+    """The image+caption multimodal aggregate from the north rule: per
+    level-K S2 tile, the image count and total caption tokens — geometry
+    (stored lat/lng -> leaf encode -> parent tile) and text (ASCII word
+    tokens, functions/text.token_count) in ONE map-side combine.  Output
+    (tile_token, n, caption_tokens); the SQL twin re-derives the geotags
+    from the image key via the recursive-CTE encode and tokenizes captions
+    with the same regexp — bit-exact."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ..functions import text as T
+    from ..stages import agg
+
+    ds = ray.data.read_parquet(
+        images_dir, columns=["image_id", "lat", "lng", "caption"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        enc = encode_cells(batch.select(["image_id", "lat", "lng"]))
+        cid = enc["cell_id"].to_numpy(zero_copy_only=False)
+        tiles = cellid.to_sort_key(cellid.parent(cid, level))
+        toks = T.token_count(pd.Series(batch["caption"].to_pylist()))
+        return pa.table(
+            {
+                "tile": tiles,
+                "n": np.ones(batch.num_rows, dtype=np.int64),
+                "caption_tokens": np.asarray(toks, dtype=np.int64),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=131072)
+    summed = agg.reduce_by_key(
+        partials, "tile", {"n": "sum", "caption_tokens": "sum"}, final=final
+    )
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        toks = cellid.to_hex(
+            cellid.from_sort_key(batch["tile"].to_numpy(zero_copy_only=False))
+        )
+        return pa.table(
+            {"tile_token": toks,
+             "n": batch["n"].to_numpy(zero_copy_only=False),
+             "caption_tokens":
+                 batch["caption_tokens"].to_numpy(zero_copy_only=False)}
+        )
+
+    return summed.map_batches(tokenize, batch_format="pyarrow")
