@@ -317,15 +317,19 @@ def run_benchmarks() -> dict:
         # string shared by ~400 docs): capped run exercises the hot-bucket
         # chunk-spill path; the uncapped control shows there is no
         # single-task funnel left either way (pair emission is vectorized)
+        # measure the OPERATOR, not the synthetic corpus: the per-doc
+        # word-shuffle generator is Python-loop-bound and the pipeline
+        # consumes its input 3x (bands + two payload joins), so an inline
+        # generator re-executes per consumer and dominates the timing —
+        # materialize untimed, as the pip/sessions families do
+        docs = expanded_docs(SF_DIR, 8, n_boiler=400).materialize()
         t0 = time.perf_counter()
-        docs = expanded_docs(SF_DIR, 8, n_boiler=400)
         textops.near_dup_pairs(
             docs, num_parts=NUM_CPUS, hot_bucket_cap=64
         ).count()
         queries["near_dup_40k_skew"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        docs = expanded_docs(SF_DIR, 8, n_boiler=400)
         textops.near_dup_pairs(
             docs, num_parts=NUM_CPUS, hot_bucket_cap=1 << 30
         ).count()
