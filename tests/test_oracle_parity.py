@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 SF = "/root/testdata/sf0.001"
-TABLES = ["documents", "lineitem", "events", "embeddings", "orders", "customer"]
+TABLES = ["documents", "lineitem", "events", "embeddings", "orders", "customer", "part"]
 
 
 @pytest.fixture(scope="module")
@@ -56,6 +56,11 @@ def _compare(df_ray, df_sql, sort_cols):
         "events_top3_per_type",
         "events_distinct_users_per_type",
         "doc_dedup_clusters",
+        "events_range_join_1h",
+        "events_quantiles_by_type",
+        "lineitem_brand_sales",
+        "img_caption_tokens_l6",
+        "img_tile_counts_l8",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
