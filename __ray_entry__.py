@@ -406,6 +406,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         path, _ = _images_for_sf(sf_dir)
         return flagship.image_caption_token_tiles(path, level=6)
 
+    def q_img_features(sf_dir: str):
+        # the multimodal feature-extraction path as a driver query: real
+        # PNG decode -> per-channel mean/std (rows-only: the oracle table
+        # stores no pixel statistics; the decode itself is oracle-checked
+        # end-to-end by img_phash_verify, and the stage has a pytest)
+        import ray.data
+
+        from s2_geometry_rust_ray.stages import multimodal
+
+        path, _ = _images_for_sf(sf_dir)
+        ds = ray.data.read_parquet(path, columns=["image_id", "bytes", "fmt"])
+        return multimodal.image_features(ds)
+
     def q_img_phash(sf_dir: str):
         # real PNG decode (from-scratch zlib inflate) -> recomputed phash,
         # oracle = the table's STORED phash column: an end-to-end
@@ -452,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s2_cap_bounds_l5": q_cap_bounds,
         "img_tile_counts_l8": q_img_tiles,
         "img_caption_tokens_l6": q_img_caption_tiles,
+        "img_features": q_img_features,
         "img_phash_verify": q_img_phash,
         "img_phash_near_dup": q_img_phash_near_dup,
         "s2_cell_encode_docs": q_encode_docs,
