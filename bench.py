@@ -346,7 +346,8 @@ def run_benchmarks() -> dict:
 
         skew_expand = max(1, EXPAND // 16)
         for salt, qname in [(1, "pip_shuffle_hot"),
-                            (8, "pip_shuffle_hot_salted")]:
+                            (8, "pip_shuffle_hot_salted"),
+                            ("auto", "pip_shuffle_hot_auto")]:
             t0 = time.perf_counter()
             sk = expanded_skewed_points(SF_DIR, skew_expand)
             pip_shuffle.shuffle_pip_join(

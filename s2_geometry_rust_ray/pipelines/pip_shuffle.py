@@ -108,8 +108,9 @@ def covering_tiles(layer: dict, level: int, max_cells: int = 48,
 
 
 def shuffle_pip_join(ds, key_col: str, layer, level: int = 8,
-                     num_parts: int | None = None, salt: int = 1,
-                     pretagged: bool = False):
+                     num_parts: int | None = None, salt=1,
+                     pretagged: bool = False, hot_factor: float = 2.0,
+                     max_salt: int = 32):
     """Equi-join points.cell_lK == covering tile (hash exchange), then exact
     PIP refine per (point, polygon) candidate pair.  Output (key, polygon_id)
     identical to the broadcast join.
@@ -128,6 +129,15 @@ def shuffle_pip_join(ds, key_col: str, layer, level: int = 8,
     collisions are harmless) after deduping tile rows whose salted copies
     hashed to the same partition, so the output is exactly the salt=1
     output.  Tile-side cost: x`salt` replication of a small table.
+
+    `salt="auto"`: SELF-TUNING skew handling — the candidate tiles are
+    histogrammed first (exchange.hot_key_histogram, a cheap tree reduce
+    whose driver pull is <= top_n rows), and each tile whose candidate
+    count exceeds `hot_factor` partition-shares gets its own per-tile salt
+    count ceil(count/share) (capped at `max_salt`); all other tiles stay
+    unsalted, so the tile-side replication is paid ONLY for hot tiles.
+    Output identical to salt=1 (same dedup + true-tile join).  Costs one
+    extra pass over the (materialized) candidate set.
 
     `pretagged`: the input already carries lat/lng columns (skips the
     deterministic key->geotag derivation)."""
@@ -148,6 +158,8 @@ def shuffle_pip_join(ds, key_col: str, layer, level: int = 8,
     level_keys = {
         int(l): np.unique(tk[tlv == l]) for l in np.unique(tlv).tolist()
     }
+    auto = salt == "auto"
+    usalt = 0 if auto else int(salt)
 
     def encode_points(batch: pa.Table) -> pa.Table:
         if not pretagged:
@@ -189,35 +201,88 @@ def shuffle_pip_join(ds, key_col: str, layer, level: int = 8,
                 "lng": np.array([], dtype=np.float64),
                 "tile": tiles,
             }
-        if salt > 1:
+        if usalt > 1:
             s = (
                 np.asarray(k_c).astype(np.uint64)
                 * np.uint64(0x9E3779B97F4A7C15)
                 >> np.uint64(33)
-            ) % np.uint64(salt)
+            ) % np.uint64(usalt)
             out["part_key"] = (
                 tiles.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F) + s
             ).view(np.int64)
         return pa.table(out)
 
     points = ds.map_batches(encode_points, batch_format="pyarrow")
-    if salt > 1:
-        # replicate each tile row once per salt value with the matching
-        # partition key; the refine dedups any copies that co-hash
-        n = tiles_tbl.num_rows
-        idx = np.repeat(np.arange(n, dtype=np.int64), salt)
-        s = np.tile(np.arange(salt, dtype=np.uint64), n)
+    if num_parts is None:
+        num_parts = exchange.default_num_parts()
+
+    def _replicate_tiles(salt_per_row: np.ndarray) -> pa.Table:
+        # one tile row per (row, salt value); refine dedups co-hashed copies
+        idx = np.repeat(
+            np.arange(tiles_tbl.num_rows, dtype=np.int64), salt_per_row
+        )
+        ends = np.cumsum(salt_per_row)
+        s = (np.arange(int(ends[-1]), dtype=np.uint64)
+             - np.repeat(ends - salt_per_row, salt_per_row).astype(np.uint64))
         rep = tiles_tbl.take(pa.array(idx))
         pk = (
             rep["tile"].to_numpy(zero_copy_only=False).astype(np.uint64)
             * np.uint64(0xC2B2AE3D27D4EB4F)
             + s
         ).view(np.int64)
-        tiles_tbl = rep.append_column("part_key", pa.array(pk))
+        return rep.append_column("part_key", pa.array(pk))
+
+    if auto:
+        # pass 1: candidate-tile histogram (tree reduce; driver pulls
+        # <= top_n rows).  Candidates are materialized so the histogram
+        # and the exchange don't each re-run geotag+encode.
+        points = points.materialize()
+        hist = exchange.hot_key_histogram(points, "tile", top_n=64)
+        total = points.count()
+        share = max(1.0, total / num_parts)
+        hot_salt = {
+            int(t): int(min(max_salt, -(-n // share)))
+            for t, n in hist.items() if n > hot_factor * share
+        }
+        if hot_salt:
+            hot_keys = np.array(sorted(hot_salt), dtype=np.int64)
+            hot_n = np.array([hot_salt[k] for k in hot_keys.tolist()],
+                             dtype=np.uint64)
+
+            def add_part_key(batch: pa.Table) -> pa.Table:
+                tiles = batch["tile"].to_numpy(zero_copy_only=False)
+                k_np = batch[key_col].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(hot_keys, tiles)
+                pos_c = np.minimum(pos, len(hot_keys) - 1)
+                sn = np.where(hot_keys[pos_c] == tiles, hot_n[pos_c],
+                              np.uint64(1))
+                s = (
+                    np.asarray(k_np).astype(np.uint64)
+                    * np.uint64(0x9E3779B97F4A7C15)
+                    >> np.uint64(33)
+                ) % sn
+                pk = (
+                    tiles.astype(np.uint64)
+                    * np.uint64(0xC2B2AE3D27D4EB4F) + s
+                ).view(np.int64)
+                return batch.append_column("part_key", pa.array(pk))
+
+            points = points.map_batches(add_part_key, batch_format="pyarrow")
+            t_np = tiles_tbl["tile"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(hot_keys, t_np)
+            pos_c = np.minimum(pos, len(hot_keys) - 1)
+            per_row = np.where(
+                hot_keys[pos_c] == t_np, hot_n[pos_c], np.uint64(1)
+            ).astype(np.int64)
+            tiles_tbl = _replicate_tiles(per_row)
+        else:
+            auto = False  # no hot tiles: plain unsalted exchange
+    elif usalt > 1:
+        tiles_tbl = _replicate_tiles(
+            np.full(tiles_tbl.num_rows, usalt, dtype=np.int64)
+        )
     right = ray.data.from_arrow(tiles_tbl)
-    if num_parts is None:
-        num_parts = exchange.default_num_parts()
-    part_col = "part_key" if salt > 1 else "tile"
+    part_col = "part_key" if auto or usalt > 1 else "tile"
 
     def refine_part(pt: pa.Table, tt: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -226,7 +291,7 @@ def shuffle_pip_join(ds, key_col: str, layer, level: int = 8,
         )
         if pt.num_rows == 0 or tt.num_rows == 0:
             return empty
-        if salt > 1:
+        if auto or usalt > 1:
             # salted copies of one tile row can co-hash into this
             # partition; the join key is the true tile, so dedup first
             # (tile tables are covering-sized — a set scan is bounded)

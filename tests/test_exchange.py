@@ -301,6 +301,15 @@ def test_shuffle_pip_salted_matches_unsalted(ray_session):
     assert len(outs[1]) > 0
     assert outs[1].equals(outs[8])
 
+    # salt="auto": the hot cluster must trigger per-tile salting and the
+    # output must stay identical to the unsalted run
+    ds = ray.data.from_pandas(df).repartition(4)
+    auto_out = pip_shuffle.shuffle_pip_join(
+        ds, "k", layer, level=7, num_parts=4, salt="auto",
+        pretagged=True, hot_factor=0.5,
+    ).to_pandas().sort_values(["k", "polygon_id"]).reset_index(drop=True)
+    assert outs[1].equals(auto_out)
+
 
 def test_covering_tiles_grid_bounds_snake_polygons(ray_session):
     """A thin spiral polygon (candy_cane) whose covering sits at coarse
