@@ -262,6 +262,22 @@ def run_benchmarks() -> dict:
 
     n_points = None
 
+    if not headline_only:
+        # grant-drift bracket: the same no-op control runs FIRST and LAST,
+        # so a reader of the artifact can tell whether the host's CPU
+        # grant moved mid-run (this box's quota swings 2-4x across
+        # minutes; the probe before the run is not predictive)
+        import pyarrow.compute as pc
+
+        t0 = time.perf_counter()
+        expanded_points(SF_DIR, EXPAND).map_batches(
+            lambda b: __import__("pyarrow").table(
+                {"s": [pc.sum(b["k"]).as_py()]}
+            ),
+            batch_format="pyarrow",
+        ).count()
+        queries["noop_kernel_control_start"] = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     ds = expanded_points(SF_DIR, EXPAND)
     tiles = tiling.tile_counts(ds, "k", level=8)
