@@ -233,6 +233,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["p_brand"], {"n": "sum", "sum_qty": "sum"}, final="single",
         )
 
+    def q_hll(sf_dir: str):
+        return textops.hll_rho_hist(
+            _read(sf_dir, "events", columns=["event_type", "user_id"])
+        )
+
     def q_range_join(sf_dir: str):
         return textops.range_join_counts(
             _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
@@ -492,6 +497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions_30m": q_sessions,
         "events_asof_purchase_view": q_asof,
         "lineitem_brand_sales": q_brand_sales,
+        "events_hll_rho_hist": q_hll,
         "events_range_join_1h": q_range_join,
         "events_quantiles_by_type": q_quantiles,
         "doc_quality": q_quality,
@@ -642,6 +648,24 @@ WHERE bit_count(xor(sa.sig, sb.sig)) <= 7"""
             "SELECT p_brand, count(*)::BIGINT AS n, "
             "CAST(sum(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty "
             "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1"
+        ),
+        "events_hll_rho_hist": (
+            "WITH z0 AS (SELECT event_type, "
+            "CAST((CAST(user_id AS UBIGINT)::HUGEINT + 11400714819323198485::HUGEINT) "
+            "% 18446744073709551616::HUGEINT AS UBIGINT) AS z FROM events), "
+            "x0 AS (SELECT event_type, xor(z, z >> 30) AS z FROM z0), "
+            # splitmix64 multiplies decomposed into 32-bit halves: the
+            # full 64x64 product of two ~2^64 values overflows INT128
+            "z1 AS (SELECT event_type, CAST(((z % 4294967296::UBIGINT)::HUGEINT * 484763065::HUGEINT + ((((z % 4294967296::UBIGINT)::HUGEINT * 3210233709::HUGEINT + (z // 4294967296::UBIGINT)::HUGEINT * 484763065::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)) % 18446744073709551616::HUGEINT AS UBIGINT) AS z FROM x0), "
+            "x1 AS (SELECT event_type, xor(z, z >> 27) AS z FROM z1), "
+            "z2 AS (SELECT event_type, CAST(((z % 4294967296::UBIGINT)::HUGEINT * 321982955::HUGEINT + ((((z % 4294967296::UBIGINT)::HUGEINT * 2496678331::HUGEINT + (z // 4294967296::UBIGINT)::HUGEINT * 321982955::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)) % 18446744073709551616::HUGEINT AS UBIGINT) AS z FROM x1), "
+            "h AS (SELECT event_type, xor(z, z >> 31) AS h FROM z2), "
+            "r AS (SELECT event_type, h // 4503599627370496::UBIGINT AS bucket, "
+            "CASE WHEN h % 4503599627370496::UBIGINT = 0::UBIGINT THEN 53 "
+            "ELSE 53 - length(bin(h % 4503599627370496::UBIGINT)) END AS rho FROM h), "
+            "reg AS (SELECT event_type, bucket, max(rho) AS rho FROM r GROUP BY 1, 2) "
+            "SELECT event_type, rho::BIGINT AS rho, count(*)::BIGINT AS n_buckets "
+            "FROM reg GROUP BY 1, 2"
         ),
         "events_range_join_1h": (
             "SELECT p.event_id AS purchase_id, count(v.event_id)::BIGINT AS n_views "

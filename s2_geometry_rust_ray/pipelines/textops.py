@@ -678,3 +678,93 @@ def quantiles_by_key(ds, key_col: str = "event_type", val_col: str = "value",
     return exchange.hash_exchange_apply(
         counts, key_col, exchange.default_num_parts(), finish
     )
+
+
+def hll_rho_hist(ds, key_col: str = "event_type", val_col: str = "user_id",
+                 b: int = 12):
+    """HyperLogLog register state per key, as an EXACTLY-verifiable
+    histogram: (key, rho, n_buckets) where rho is each bucket's max
+    leading-zero rank and n_buckets counts buckets sharing it (empty
+    buckets omitted; n_empty = 2^b - sum(n_buckets)).
+
+    The sketch state — unlike the float estimate — is pure integer
+    arithmetic (multiplicative mod-2^64 hash, top-b bucket, suffix bit
+    length), so the SQL twin (HUGEINT product, integer div/mod,
+    length(bin())) matches bit-exactly; `hll_estimate` derives the
+    cardinality estimate from the histogram driver-side (tested within
+    HLL's published error vs exact distinct).
+
+    Scale path: the register table is the re-reducible max-aggregate over
+    (key, bucket) — the exchange carries at most keys x 2^b rows no
+    matter the input size; the histogram final is a second tiny sum.
+    This is the approximate-distinct operator for cardinalities where
+    distinct_count_by_key's exact exchange would be the bottleneck."""
+    import pyarrow as pa
+
+    from ..stages import agg
+
+    assert 1 <= b <= 12  # suffix must stay < 2^53 for the exact frexp
+    suffix_bits = 64 - b
+    mask = np.uint64((1 << suffix_bits) - 1)
+
+    def to_regs(batch: pa.Table) -> pa.Table:
+        u = batch[val_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # splitmix64: a single multiplicative (Fibonacci) hash scrambles
+        # high bits only — sequential ids give LOW-DISCREPANCY suffixes
+        # whose max leading-zero rank is capped near log2(2^52/n), and the
+        # HLL registers systematically undershoot (measured: 53% low at
+        # n=47k, m=4096).  The xor-shift/multiply chain passes the rank
+        # test and stays integer-exact in the SQL twin.
+        with np.errstate(over="ignore"):
+            z = u + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h = z ^ (z >> np.uint64(31))
+        bucket = (h >> np.uint64(suffix_bits)).astype(np.int64)
+        suffix = h & mask
+        # bit_length via frexp is EXACT for suffix < 2^53 (the f64
+        # conversion is lossless below the mantissa width)
+        _, e = np.frexp(suffix.astype(np.float64))
+        rho = np.where(suffix == 0, suffix_bits + 1,
+                       suffix_bits - e + 1).astype(np.int64)
+        return pa.table(
+            {key_col: batch[key_col], "bucket": bucket, "rho": rho}
+        )
+
+    regs = agg.reduce_by_key_multi(
+        ds.map_batches(to_regs, batch_format="pyarrow"),
+        [key_col, "bucket"], {"rho": "max"}, final="hash",
+    )
+
+    def to_hist(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {key_col: batch[key_col], "rho": batch["rho"],
+             "n_buckets": np.ones(batch.num_rows, dtype=np.int64)}
+        )
+
+    return agg.reduce_by_key_multi(
+        regs.map_batches(to_hist, batch_format="pyarrow"),
+        [key_col, "rho"], {"n_buckets": "sum"}, final="single",
+    )
+
+
+def hll_estimate(hist, b: int = 12) -> dict:
+    """Cardinality estimates from an hll_rho_hist result (pandas frame or
+    arrow table): standard HLL estimator with the small-range linear
+    counting correction.  Returns {key: estimate}."""
+    if hasattr(hist, "to_pandas"):
+        hist = hist.to_pandas()
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    out = {}
+    key_col = hist.columns[0]
+    for key, grp in hist.groupby(key_col):
+        rho = grp["rho"].to_numpy()
+        n = grp["n_buckets"].to_numpy()
+        n_empty = m - int(n.sum())
+        s = float((n * np.exp2(-rho.astype(np.float64))).sum()) + n_empty
+        est = alpha * m * m / s
+        if est <= 2.5 * m and n_empty > 0:
+            est = m * np.log(m / n_empty)
+        out[key] = float(est)
+    return out

@@ -572,3 +572,40 @@ def test_quantiles_by_key_vs_numpy(ray_session):
         for q in (50, 90, 99):
             rank = -(-q * len(v) // 100)
             assert r[f"p{q}"] == v[rank - 1]
+
+
+def test_hll_rho_hist_and_estimate(ray_session):
+    """HLL register histogram is exactly reducible (order-independent) and
+    the derived estimate tracks exact distinct counts within the sketch's
+    published error in BOTH regimes: linear counting (n << m) and the raw
+    HLL estimator (n >> m)."""
+    import pyarrow as pa
+    import ray.data
+
+    from s2_geometry_rust_ray.pipelines import textops
+
+    rng = np.random.default_rng(9)
+    rows = []
+    # key 'small': 300 distinct; key 'large': 60_000 distinct (m = 4096)
+    small = rng.choice(np.arange(300, dtype=np.int64), 5000)
+    large = rng.choice(np.arange(60_000, dtype=np.int64) + 10_000_000, 90_000)
+    t = pa.table({
+        "event_type": ["small"] * len(small) + ["large"] * len(large),
+        "user_id": np.concatenate([small, large]),
+    })
+    hist = textops.hll_rho_hist(
+        ray.data.from_arrow(t).repartition(4)
+    ).to_pandas()
+    est = textops.hll_estimate(hist)
+    n_small = len(np.unique(small))
+    n_large = len(np.unique(large))
+    assert abs(est["small"] - n_small) / n_small < 0.05
+    assert abs(est["large"] - n_large) / n_large < 0.06  # 1.04/sqrt(4096)~1.6%
+    # register-state determinism: shuffled input gives the IDENTICAL hist
+    perm = rng.permutation(t.num_rows)
+    hist2 = textops.hll_rho_hist(
+        ray.data.from_arrow(t.take(pa.array(perm))).repartition(7)
+    ).to_pandas()
+    key = ["event_type", "rho"]
+    assert hist.sort_values(key).reset_index(drop=True).equals(
+        hist2.sort_values(key).reset_index(drop=True))
