@@ -262,11 +262,13 @@ def run_benchmarks() -> dict:
 
     n_points = None
 
-    if not headline_only:
-        # grant-drift bracket: the same no-op control runs FIRST and LAST,
-        # so a reader of the artifact can tell whether the host's CPU
-        # grant moved mid-run (this box's quota swings 2-4x across
-        # minutes; the probe before the run is not predictive)
+    def _noop_control() -> float:
+        # framework floor: the SAME expanded source through a no-op
+        # (per-batch sum) kernel — source generation + object-store
+        # movement with zero compute.  Runs FIRST and LAST so a reader of
+        # the artifact can tell whether the host's CPU grant moved
+        # mid-run (this box's quota swings 2-4x across minutes; the probe
+        # before the run is not predictive).
         import pyarrow.compute as pc
 
         t0 = time.perf_counter()
@@ -276,7 +278,10 @@ def run_benchmarks() -> dict:
             ),
             batch_format="pyarrow",
         ).count()
-        queries["noop_kernel_control_start"] = time.perf_counter() - t0
+        return time.perf_counter() - t0
+
+    if not headline_only:
+        queries["noop_kernel_control_start"] = _noop_control()
 
     t0 = time.perf_counter()
     ds = expanded_points(SF_DIR, EXPAND)
@@ -374,21 +379,7 @@ def run_benchmarks() -> dict:
             ).count()
             queries[qname] = time.perf_counter() - t0
 
-        # bandwidth-ceiling control: the SAME expanded source through a
-        # no-op (per-batch sum) kernel — the floor below the headline is
-        # source generation + object-store movement, so (headline - this)
-        # is the true compute term the cluster scales
-        import pyarrow.compute as pc
-
-        t0 = time.perf_counter()
-        ds = expanded_points(SF_DIR, EXPAND)
-        ds.map_batches(
-            lambda b: __import__("pyarrow").table(
-                {"s": [pc.sum(b["k"]).as_py()]}
-            ),
-            batch_format="pyarrow",
-        ).count()
-        queries["noop_kernel_control"] = time.perf_counter() - t0
+        queries["noop_kernel_control"] = _noop_control()
 
     headline = queries["encode_tile_l8"]
     result = {

@@ -218,6 +218,10 @@ def shuffle_pip_join(ds, key_col: str, layer, level: int = 8,
 
     def _replicate_tiles(salt_per_row: np.ndarray) -> pa.Table:
         # one tile row per (row, salt value); refine dedups co-hashed copies
+        if tiles_tbl.num_rows == 0:  # empty layer: nothing to replicate
+            return tiles_tbl.append_column(
+                "part_key", pa.array([], pa.int64())
+            )
         idx = np.repeat(
             np.arange(tiles_tbl.num_rows, dtype=np.int64), salt_per_row
         )

@@ -703,7 +703,11 @@ def hll_rho_hist(ds, key_col: str = "event_type", val_col: str = "user_id",
 
     from ..stages import agg
 
-    assert 1 <= b <= 12  # suffix must stay < 2^53 for the exact frexp
+    # suffix must stay < 2^53 so the f64 conversion inside the frexp
+    # bit-length is lossless: b <= 10 gives 54+-bit suffixes that can
+    # round UP across a power of two and corrupt rho
+    assert 11 <= b <= 16, "b must be in [11, 16] for the exact frexp path"
+
     suffix_bits = 64 - b
     mask = np.uint64((1 << suffix_bits) - 1)
 

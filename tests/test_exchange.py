@@ -441,3 +441,20 @@ def test_hash_join_zero_block_sides(ray_session):
     assert louter.count() == 20
     both = exchange.hash_join(zero, zero, "k", num_parts=4, how="left")
     assert both.count() == 0
+
+
+def test_shuffle_pip_join_empty_layer_salted(ray_session):
+    """An empty polygon layer with salting must return an empty result,
+    not crash in the tile replication."""
+    import pandas as pd
+    import ray.data
+
+    from s2_geometry_rust_ray.pipelines import pip_shuffle
+
+    df = pd.DataFrame({"k": np.arange(10, dtype=np.int64),
+                       "lat": np.zeros(10), "lng": np.zeros(10)})
+    ds = ray.data.from_pandas(df)
+    out = pip_shuffle.shuffle_pip_join(
+        ds, "k", {}, level=8, num_parts=2, salt=8, pretagged=True
+    )
+    assert out.count() == 0
