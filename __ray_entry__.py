@@ -238,6 +238,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "events", columns=["event_type", "user_id"])
         )
 
+    def q_sample(sf_dir: str):
+        # deterministic 5% sample (num/den = 3276/65536): same keys
+        # survive on any engine/partitioning — reproducible fixtures
+        return textops.sample_by_hash(
+            _read(sf_dir, "events",
+                  columns=["event_id", "user_id", "event_type"]),
+            "event_id", 0.05, num=3276, den=65536,
+        )
+
     def q_range_join(sf_dir: str):
         return textops.range_join_counts(
             _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
@@ -498,6 +507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_purchase_view": q_asof,
         "lineitem_brand_sales": q_brand_sales,
         "events_hll_rho_hist": q_hll,
+        "events_sample_5pct": q_sample,
         "events_range_join_1h": q_range_join,
         "events_quantiles_by_type": q_quantiles,
         "doc_quality": q_quality,
@@ -521,6 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from s2_geometry_rust_ray.functions import text as _text
     from s2_geometry_rust_ray.oracle import h3_sql, knn_sql, pip_sql
+    from s2_geometry_rust_ray.functions import hashing as _hashing
     from s2_geometry_rust_ray.oracle import sql as osql
     from s2_geometry_rust_ray.pipelines import pip as ppip
 
@@ -649,23 +660,22 @@ WHERE bit_count(xor(sa.sig, sb.sig)) <= 7"""
             "CAST(sum(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty "
             "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1"
         ),
-        "events_hll_rho_hist": (
-            "WITH z0 AS (SELECT event_type, "
-            "CAST((CAST(user_id AS UBIGINT)::HUGEINT + 11400714819323198485::HUGEINT) "
-            "% 18446744073709551616::HUGEINT AS UBIGINT) AS z FROM events), "
-            "x0 AS (SELECT event_type, xor(z, z >> 30) AS z FROM z0), "
-            # splitmix64 multiplies decomposed into 32-bit halves: the
-            # full 64x64 product of two ~2^64 values overflows INT128
-            "z1 AS (SELECT event_type, CAST(((z % 4294967296::UBIGINT)::HUGEINT * 484763065::HUGEINT + ((((z % 4294967296::UBIGINT)::HUGEINT * 3210233709::HUGEINT + (z // 4294967296::UBIGINT)::HUGEINT * 484763065::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)) % 18446744073709551616::HUGEINT AS UBIGINT) AS z FROM x0), "
-            "x1 AS (SELECT event_type, xor(z, z >> 27) AS z FROM z1), "
-            "z2 AS (SELECT event_type, CAST(((z % 4294967296::UBIGINT)::HUGEINT * 321982955::HUGEINT + ((((z % 4294967296::UBIGINT)::HUGEINT * 2496678331::HUGEINT + (z // 4294967296::UBIGINT)::HUGEINT * 321982955::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)) % 18446744073709551616::HUGEINT AS UBIGINT) AS z FROM x1), "
-            "h AS (SELECT event_type, xor(z, z >> 31) AS h FROM z2), "
-            "r AS (SELECT event_type, h // 4503599627370496::UBIGINT AS bucket, "
+        "events_hll_rho_hist": _hashing.sql_splitmix64_ctes(
+            "SELECT event_type, user_id FROM events", "user_id", "event_type"
+        ) + (
+            ", r AS (SELECT event_type, h // 4503599627370496::UBIGINT AS bucket, "
             "CASE WHEN h % 4503599627370496::UBIGINT = 0::UBIGINT THEN 53 "
             "ELSE 53 - length(bin(h % 4503599627370496::UBIGINT)) END AS rho FROM h), "
             "reg AS (SELECT event_type, bucket, max(rho) AS rho FROM r GROUP BY 1, 2) "
             "SELECT event_type, rho::BIGINT AS rho, count(*)::BIGINT AS n_buckets "
             "FROM reg GROUP BY 1, 2"
+        ),
+        "events_sample_5pct": _hashing.sql_splitmix64_ctes(
+            "SELECT event_id, user_id, event_type FROM events",
+            "event_id", "event_id, user_id, event_type",
+        ) + (
+            " SELECT event_id, user_id, event_type FROM h "
+            f"WHERE h < {((1 << 64) * 3276) // 65536}::UBIGINT"
         ),
         "events_range_join_1h": (
             "SELECT p.event_id AS purchase_id, count(v.event_id)::BIGINT AS n_views "

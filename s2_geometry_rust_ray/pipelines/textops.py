@@ -711,19 +711,14 @@ def hll_rho_hist(ds, key_col: str = "event_type", val_col: str = "user_id",
     suffix_bits = 64 - b
     mask = np.uint64((1 << suffix_bits) - 1)
 
+    from ..functions.hashing import splitmix64
+
     def to_regs(batch: pa.Table) -> pa.Table:
-        u = batch[val_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        # splitmix64: a single multiplicative (Fibonacci) hash scrambles
-        # high bits only — sequential ids give LOW-DISCREPANCY suffixes
-        # whose max leading-zero rank is capped near log2(2^52/n), and the
-        # HLL registers systematically undershoot (measured: 53% low at
-        # n=47k, m=4096).  The xor-shift/multiply chain passes the rank
-        # test and stays integer-exact in the SQL twin.
-        with np.errstate(over="ignore"):
-            z = u + np.uint64(0x9E3779B97F4A7C15)
-            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        h = z ^ (z >> np.uint64(31))
+        u = batch[val_col].to_numpy(zero_copy_only=False)
+        # splitmix64, not a single multiplicative hash: see
+        # functions/hashing.py (a Fibonacci hash caps the leading-zero
+        # ranks of sequential ids — HLL measured 53% low at n=47k)
+        h = splitmix64(u)
         bucket = (h >> np.uint64(suffix_bits)).astype(np.int64)
         suffix = h & mask
         # bit_length via frexp is EXACT for suffix < 2^53 (the f64
@@ -772,3 +767,27 @@ def hll_estimate(hist, b: int = 12) -> dict:
             est = m * np.log(m / n_empty)
         out[key] = float(est)
     return out
+
+
+def sample_by_hash(ds, key_col: str, frac: float, num: int | None = None,
+                   den: int | None = None):
+    """Deterministic, reproducible sampling: keep rows where
+    splitmix64(key) < frac * 2^64 — the same keys survive on every run,
+    any engine, any partitioning (the fixture-sampling primitive for
+    100 TB pipelines: sample once, join debug runs against it later).
+    Pass num/den to pin an exact rational fraction (frac is then
+    ignored); the threshold floor(2^64 * num / den) is computed in exact
+    integer arithmetic so the SQL twin matches bit-exactly."""
+    import pyarrow as pa
+
+    from ..functions.hashing import splitmix64
+
+    if num is None or den is None:
+        num, den = int(round(frac * (1 << 32))), 1 << 32
+    thr = np.uint64(((1 << 64) * num) // den)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = splitmix64(batch[key_col].to_numpy(zero_copy_only=False))
+        return batch.take(pa.array(np.nonzero(h < thr)[0]))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

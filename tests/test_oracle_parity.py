@@ -58,6 +58,7 @@ def _compare(df_ray, df_sql, sort_cols):
         "doc_dedup_clusters",
         "events_range_join_1h",
         "events_hll_rho_hist",
+        "events_sample_5pct",
         "events_quantiles_by_type",
         "lineitem_brand_sales",
         "img_caption_tokens_l6",
