@@ -782,12 +782,26 @@ def sample_by_hash(ds, key_col: str, frac: float, num: int | None = None,
 
     from ..functions.hashing import splitmix64
 
-    if num is None or den is None:
+    if (num is None) != (den is None):
+        raise ValueError("pass BOTH num and den (or neither)")
+    if num is None:
         num, den = int(round(frac * (1 << 32))), 1 << 32
+    if num >= den:  # keep-everything: 2^64 overflows uint64, and h < thr
+        return ds  # would wrongly drop the max-hash key — skip the filter
+    if num <= 0:
+        num = 0
     thr = np.uint64(((1 << 64) * num) // den)
 
     def fn(batch: pa.Table) -> pa.Table:
-        h = splitmix64(batch[key_col].to_numpy(zero_copy_only=False))
-        return batch.take(pa.array(np.nonzero(h < thr)[0]))
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        if k.dtype.kind not in "iu":
+            # nulls make Arrow hand back float64: NaN->uint64 is UB and
+            # ids >= 2^53 round BEFORE hashing — either silently breaks
+            # the cross-engine same-keys guarantee
+            raise TypeError(
+                f"sample_by_hash needs a non-null integer key column; "
+                f"got dtype {k.dtype} for {key_col!r}"
+            )
+        return batch.filter(pa.array(splitmix64(k) < thr))
 
     return ds.map_batches(fn, batch_format="pyarrow")

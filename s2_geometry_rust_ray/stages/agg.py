@@ -114,6 +114,8 @@ def reduce_by_key(
     partial rows), hash partitioning co-locates every key exactly —
     guaranteed ONE row per key.  Use it whenever the consumer counts or
     sums the reduced rows directly (e.g. a convergence certificate)."""
+    if final not in ("single", "sorted", "hash"):
+        raise ValueError(f"unknown final {final!r}")
     reduce_fn = _reduce_block(key_col, spec)
     partials = ds.map_batches(reduce_fn, batch_format="pyarrow", batch_size=batch_size)
     if final == "hash":
@@ -179,6 +181,8 @@ def reduce_by_key_multi(
     merge); `final='hash'` hash-partitions on key_cols[0] (co-locating
     every composite key whose first component matches — exact, since the
     per-partition reduce regroups on the full tuple)."""
+    if final not in ("single", "sorted", "hash"):
+        raise ValueError(f"unknown final {final!r}")
     reduce_fn = _reduce_block_multi(key_cols, spec)
     partials = ds.map_batches(
         reduce_fn, batch_format="pyarrow", batch_size=batch_size
@@ -213,20 +217,15 @@ def sum_by_key(
     `final='single'`: last merge in one task (bounded-cardinality keys).
     `final='sorted'`: second sort round; result stays range-partitioned by
     key and sorted (scale path; also what a downstream merge-join wants).
-    """
-    reduce_fn = _reduce_block(key_col, sum_cols)
-    # per-block partial combine (pre-shuffle): bounds skew + shrinks exchange
-    partials = ds.map_batches(reduce_fn, batch_format="pyarrow", batch_size=batch_size)
-    first = partials.sort(key_col).map_batches(
-        reduce_fn, batch_format="pyarrow", batch_size=None
-    )
-    if final == "single":
-        return first.repartition(1).map_batches(
-            reduce_fn, batch_format="pyarrow", batch_size=None
-        )
-    # second, far smaller round fixes block-boundary splits, stays distributed
-    return first.sort(key_col).map_batches(
-        reduce_fn, batch_format="pyarrow", batch_size=None
+    `final='hash'`: hash exchange + per-partition reduce (the
+    high-cardinality path; see reduce_by_key).
+
+    The all-sum special case of reduce_by_key — one plan dispatcher, so
+    the finals can never drift apart (a silent fallthrough here once let
+    final='hash' run the sorted plan unnoticed)."""
+    return reduce_by_key(
+        ds, key_col, {c: "sum" for c in sum_cols}, final=final,
+        batch_size=batch_size,
     )
 
 

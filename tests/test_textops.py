@@ -609,3 +609,29 @@ def test_hll_rho_hist_and_estimate(ray_session):
     key = ["event_type", "rho"]
     assert hist.sort_values(key).reset_index(drop=True).equals(
         hist2.sort_values(key).reset_index(drop=True))
+
+
+def test_sample_by_hash_direct(ray_session):
+    """Direct coverage of sample_by_hash: frac path, exact-rational path,
+    keep-everything, nesting, and the integer-key guard."""
+    import pyarrow as pa
+    import ray.data
+
+    from s2_geometry_rust_ray.pipelines import textops
+
+    k = np.arange(5000, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": k}))
+    s10 = set(textops.sample_by_hash(ds, "k", 0.10).to_pandas()["k"])
+    s20 = set(textops.sample_by_hash(ds, "k", 0.20).to_pandas()["k"])
+    assert s10 <= s20
+    assert 0.05 < len(s10) / 5000 < 0.15
+    assert textops.sample_by_hash(ds, "k", 1.0).count() == 5000
+    exact = textops.sample_by_hash(ds, "k", 0, num=3276, den=65536)
+    assert 0.02 < exact.count() / 5000 < 0.08
+    with pytest.raises(Exception, match="BOTH num and den"):
+        textops.sample_by_hash(ds, "k", 0.05, num=3276)
+    bad = ray.data.from_arrow(
+        pa.table({"k": pa.array([1.5, 2.5], pa.float64())})
+    )
+    with pytest.raises(Exception, match="integer key"):
+        textops.sample_by_hash(bad, "k", 0.5).count()
