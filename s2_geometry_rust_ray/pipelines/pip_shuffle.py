@@ -30,11 +30,14 @@ def _drop_contained(ids: np.ndarray) -> np.ndarray:
     produce an off-grid parent the point side never probes)."""
     rmin = cellid.range_min(ids)
     rmax = cellid.range_max(ids)
-    order = np.lexsort((-cellid.to_sort_key(rmax).astype(np.float64),
-                        cellid.to_sort_key(rmin)))
-    keep, hi = [], None
     kmax = cellid.to_sort_key(rmax)
     kmin = cellid.to_sort_key(rmin)
+    # rmax DESC via bitwise NOT (~k = -k-1, strictly monotone-decreasing on
+    # int64) — a float64 negation would collapse distinct 64-bit keys whose
+    # difference is below the 53-bit mantissa into ties, letting a contained
+    # cell sort first and survive the sweep
+    order = np.lexsort((~kmax, kmin))
+    keep, hi = [], None
     for i in order.tolist():
         if hi is not None and kmax[i] <= hi:
             continue  # contained in the previously kept cell

@@ -474,6 +474,15 @@ def sliding_window_counts(ds, window_minutes: int = 60, hop_minutes: int = 15):
     hop_s = hop_minutes * 60
 
     def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # Ray Data can hand map_batches an empty block (upstream filter
+            # / block split); starts=[0] below would index an empty array
+            return pa.table({
+                "event_type": pa.array([], type=pa.string()),
+                "window_s": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+                "sum_floor_value": pa.array([], type=pa.int64()),
+            })
         ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
         epoch_us = ts.astype(np.int64)
         base = epoch_us // hop_us * hop_us  # latest hop-aligned start <= ts

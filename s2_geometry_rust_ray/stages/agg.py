@@ -178,9 +178,9 @@ def reduce_by_key_multi(
     """Distributed grouped reduce over a composite key — the multi-column
     GROUP BY.  Same physical plan as reduce_by_key (map-side partial
     combine -> sort exchange on the key tuple -> block reduce -> boundary
-    merge); `final='hash'` hash-partitions on key_cols[0] (co-locating
-    every composite key whose first component matches — exact, since the
-    per-partition reduce regroups on the full tuple)."""
+    merge); `final='hash'` hash-partitions on the FULL key tuple, so the
+    partition spread follows the joint cardinality even when the leading
+    key has few distinct values (e.g. (event_type, window))."""
     if final not in ("single", "sorted", "hash"):
         raise ValueError(f"unknown final {final!r}")
     reduce_fn = _reduce_block_multi(key_cols, spec)
@@ -191,7 +191,7 @@ def reduce_by_key_multi(
         from . import exchange
 
         return exchange.hash_exchange_apply(
-            partials, key_cols[0], exchange.default_num_parts(), reduce_fn
+            partials, key_cols, exchange.default_num_parts(), reduce_fn
         )
     first = partials.sort(key_cols).map_batches(
         reduce_fn, batch_format="pyarrow", batch_size=None

@@ -149,13 +149,22 @@ def _hash_keys(k: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(np.asarray(k, dtype=object), categorize=False)
 
 
-def _hash_part(table: pa.Table, key_col: str, num_parts: int) -> list[pa.Table]:
+def _hash_part(table: pa.Table, key_col, num_parts: int) -> list[pa.Table]:
+    """key_col may be a single column name or a list/tuple of names; a
+    composite key hashes the FULL tuple (FNV-style fold of per-column
+    hashes) so partitioning spreads by the joint cardinality — hashing
+    only the first component would collapse a low-cardinality leading key
+    (e.g. event_type) into a handful of partitions regardless of
+    num_parts."""
     if table.num_rows == 0:
         # empty blocks may even lack columns (e.g. a filter that dropped
         # everything); emit schema-preserving empty slices
         return [table.slice(0, 0)] * num_parts
-    k = table[key_col].to_numpy(zero_copy_only=False)
-    h = _hash_keys(k)
+    cols = [key_col] if isinstance(key_col, str) else list(key_col)
+    h = np.zeros(table.num_rows, dtype=np.uint64)
+    for c in cols:
+        k = table[c].to_numpy(zero_copy_only=False)
+        h = h * np.uint64(0x100000001B3) + _hash_keys(k)
     part = (h % np.uint64(num_parts)).astype(np.int64)
     order = np.argsort(part, kind="stable")
     bounds = np.searchsorted(part[order], np.arange(num_parts + 1))
@@ -173,12 +182,13 @@ def _hash_part(table: pa.Table, key_col: str, num_parts: int) -> list[pa.Table]:
     ]
 
 
-def _empty_exchange_table(ds, key_col: str, map_fn=None) -> pa.Table:
+def _empty_exchange_table(ds, key_col, map_fn=None) -> pa.Table:
     """Schema-ful empty table for a zero-block dataset's exchange."""
     schema = ds.schema()
     arrow_schema = getattr(schema, "base_schema", None) if schema else None
     if arrow_schema is None:
-        arrow_schema = pa.schema([(key_col, pa.null())])
+        cols = [key_col] if isinstance(key_col, str) else list(key_col)
+        arrow_schema = pa.schema([(c, pa.null()) for c in cols])
     tbl = arrow_schema.empty_table()
     if map_fn is not None:
         tbl = map_fn(tbl)
@@ -351,6 +361,14 @@ class _BroadcastJoiner:
             hit = self.sorted_keys[pos] == k
         left = batch.take(pa.array(np.nonzero(hit)[0]))
         attach = self.right.take(pa.array(self.order[pos[hit]]))
+        clash = set(attach.column_names) & set(left.column_names)
+        if clash:
+            # pyarrow append_column permits duplicate names; a shared
+            # non-key column would silently yield an ambiguous table
+            raise ValueError(
+                f"broadcast_join column collision: {sorted(clash)} exist "
+                "on both sides — prune with columns=[...] or rename"
+            )
         out = left
         for name in attach.column_names:
             out = out.append_column(name, attach[name])

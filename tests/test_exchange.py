@@ -458,3 +458,61 @@ def test_shuffle_pip_join_empty_layer_salted(ray_session):
         ds, "k", {}, level=8, num_parts=2, salt=8, pretagged=True
     )
     assert out.count() == 0
+
+
+def test_hash_part_composite_key_spreads_low_card_leading_key():
+    """Hash partitioning on a composite key must spread by the JOINT
+    cardinality: a 2-value leading key over 1000 windows must fill (far)
+    more than 2 partitions."""
+    t = pa.table({
+        "et": np.array(["a", "b"], dtype=object)[
+            np.arange(2000, dtype=np.int64) % 2],
+        "w": (np.arange(2000, dtype=np.int64) // 2),
+        "v": np.ones(2000, dtype=np.int64),
+    })
+    parts = exchange._hash_part(t, ["et", "w"], 8)
+    nonempty = sum(p.num_rows > 0 for p in parts)
+    assert nonempty == 8
+    assert sum(p.num_rows for p in parts) == 2000
+    # same tuple always lands in the same partition (determinism across
+    # a re-split of a permuted copy)
+    perm = np.random.default_rng(0).permutation(2000)
+    parts2 = exchange._hash_part(t.take(pa.array(perm)), ["et", "w"], 8)
+    for p, q in zip(parts, parts2):
+        a = p.to_pandas().sort_values(["et", "w"]).reset_index(drop=True)
+        b = q.to_pandas().sort_values(["et", "w"]).reset_index(drop=True)
+        assert a.equals(b)
+
+
+def test_broadcast_join_column_collision_raises(ray_session):
+    """A right column sharing a name with a left column must raise, not
+    silently produce a duplicate-named table."""
+    import pytest
+    import ray.data
+
+    left = pa.table({"k": np.arange(10, dtype=np.int64),
+                     "name": [f"l{i}" for i in range(10)]})
+    right = pa.table({"rk": np.arange(10, dtype=np.int64),
+                      "name": [f"r{i}" for i in range(10)]})
+    with pytest.raises(Exception, match="collision"):
+        exchange.broadcast_join(
+            ray.data.from_arrow(left), right, "k", right_on="rk"
+        ).materialize()
+
+
+def test_drop_contained_precision_no_float_collapse():
+    """A descendant sharing range_min with its ancestor differs in
+    range_max by a few ulps of nothing at int64 scale but far below
+    float64's 53-bit mantissa at ~2^62 — the sweep must still drop it."""
+    from s2_geometry_rust_ray.functions import cellid
+    from s2_geometry_rust_ray.pipelines.pip_shuffle import _drop_contained
+
+    leaf = cellid.from_latlng_deg(np.array([10.0]), np.array([20.0]))
+    parent = cellid.parent(leaf, 29)
+    child = cellid.range_min(parent)  # first leaf: shares range_min
+    # descendant FIRST in input order: the old float64 sort collapsed the
+    # rmax tie and kept both
+    ids = np.concatenate([np.atleast_1d(child).astype(np.uint64),
+                          np.atleast_1d(parent).astype(np.uint64)])
+    kept = _drop_contained(ids)
+    assert len(kept) == 1 and kept[0] == np.atleast_1d(parent)[0]

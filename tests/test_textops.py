@@ -635,3 +635,24 @@ def test_sample_by_hash_direct(ray_session):
     )
     with pytest.raises(Exception, match="integer key"):
         textops.sample_by_hash(bad, "k", 0.5).count()
+
+
+def test_sliding_window_counts_empty_block(ray_session):
+    """Ray Data can hand map_batches an empty block; the vectorized
+    kernel must not IndexError on it (starts=[0] over an empty array)."""
+    import pyarrow as pa
+    import ray.data
+
+    from s2_geometry_rust_ray.pipelines import textops
+
+    full = pa.table({
+        "ts": pa.array(
+            np.array([0, 900_000_000], dtype="datetime64[us]")),
+        "event_type": ["a", "b"],
+        "value": [1.5, 2.5],
+    })
+    empty = full.slice(0, 0)
+    ds = ray.data.from_arrow([empty, full])
+    got = textops.sliding_window_counts(ds).to_pandas()
+    # each event lands in 4 hopping windows
+    assert got["n"].sum() == 8
