@@ -113,7 +113,7 @@ def covering_tiles(layer: dict, level: int, max_cells: int = 48,
 def shuffle_pip_join(ds, key_col: str, layer, level: int = 8,
                      num_parts: int | None = None, salt=1,
                      pretagged: bool = False, hot_factor: float = 2.0,
-                     max_salt: int = 32):
+                     max_salt: int = 32, hist_sample=(1, 8)):
     """Equi-join points.cell_lK == covering tile (hash exchange), then exact
     PIP refine per (point, polygon) candidate pair.  Output (key, polygon_id)
     identical to the broadcast join.
@@ -133,14 +133,18 @@ def shuffle_pip_join(ds, key_col: str, layer, level: int = 8,
     hashed to the same partition, so the output is exactly the salt=1
     output.  Tile-side cost: x`salt` replication of a small table.
 
-    `salt="auto"`: SELF-TUNING skew handling — the candidate tiles are
-    histogrammed first (exchange.hot_key_histogram, a cheap tree reduce
-    whose driver pull is <= top_n rows), and each tile whose candidate
-    count exceeds `hot_factor` partition-shares gets its own per-tile salt
-    count ceil(count/share) (capped at `max_salt`); all other tiles stay
+    `salt="auto"`: SELF-TUNING skew handling — the candidate tiles of a
+    `hist_sample` (num, den) deterministic key-hash sample of the input
+    are histogrammed first (exchange.hot_key_histogram, a cheap tree
+    reduce whose driver pull is <= top_n+1 rows), counts scaled back by
+    den/num, and each tile whose estimated candidate count exceeds
+    `hot_factor` partition-shares gets its own per-tile salt count
+    ceil(count/share) (capped at `max_salt`); all other tiles stay
     unsalted, so the tile-side replication is paid ONLY for hot tiles.
-    Output identical to salt=1 (same dedup + true-tile join).  Costs one
-    extra pass over the (materialized) candidate set.
+    Output identical to salt=1 (same dedup + true-tile join) — a hot tile
+    the sample misses merely stays unsalted.  Costs one extra encode pass
+    over ~num/den of the input; nothing is materialized, so the operator
+    streams end to end at any input size.
 
     `pretagged`: the input already carries lat/lng columns (skips the
     deterministic key->geotag derivation)."""
@@ -240,16 +244,46 @@ def shuffle_pip_join(ds, key_col: str, layer, level: int = 8,
         return rep.append_column("part_key", pa.array(pk))
 
     if auto:
-        # pass 1: candidate-tile histogram (tree reduce; driver pulls
-        # <= top_n rows).  Candidates are materialized so the histogram
-        # and the exchange don't each re-run geotag+encode.
-        points = points.materialize()
-        hist = exchange.hot_key_histogram(points, "tile", top_n=64)
-        total = points.count()
+        # pass 1: candidate-tile histogram over a bounded deterministic
+        # SAMPLE of the input (splitmix64 of the point key), counts scaled
+        # back by the sampling ratio.  Nothing is materialized: the old
+        # path pinned the FULL encoded candidate set in the object store
+        # so the histogram and the exchange shared one encode run — the
+        # scale-killer at 10^12 rows.  Instead the sampled pass re-runs
+        # the cheap geotag+encode on ~1/den of the rows and the main pass
+        # streams.  Salting decisions are heuristic and output-invariant
+        # (dedup + true-tile join), so sampled estimates are safe; a hot
+        # tile missed by the sample just stays unsalted.
+        s_num, s_den = hist_sample
+        # num >= den would overflow uint64 (2^64): keep everything instead
+        thr = (np.uint64(((1 << 64) * s_num) // s_den)
+               if s_num < s_den else np.uint64(0))
+
+        def sample_rows(batch: pa.Table) -> pa.Table:
+            from ..functions.hashing import splitmix64
+
+            k = batch[key_col].to_numpy(zero_copy_only=False)
+            if k.dtype.kind in "iu":
+                h = splitmix64(k)
+            else:  # string keys: deterministic cross-worker hash
+                import pandas as pd
+
+                h = pd.util.hash_array(np.asarray(k)).astype(np.uint64)
+            return batch.filter(pa.array(h < thr))
+
+        sampled = ds if s_num >= s_den else ds.map_batches(
+            sample_rows, batch_format="pyarrow"
+        )
+        hist, s_total = exchange.hot_key_histogram(
+            sampled.map_batches(encode_points, batch_format="pyarrow"),
+            "tile", top_n=64, with_total=True,
+        )
+        scale = s_den / s_num
+        total = s_total * scale
         share = max(1.0, total / num_parts)
         hot_salt = {
-            int(t): int(min(max_salt, -(-n // share)))
-            for t, n in hist.items() if n > hot_factor * share
+            int(t): int(min(max_salt, -(-(n * scale) // share)))
+            for t, n in hist.items() if n * scale > hot_factor * share
         }
         if hot_salt:
             hot_keys = np.array(sorted(hot_salt), dtype=np.int64)

@@ -20,36 +20,48 @@ from ..functions import text as T
 from ..stages import agg
 
 
+def _texts(batch: pa.Table) -> pd.Series:
+    """ONLY the text column crosses into pandas-object land (the `.str`
+    kernels in functions/text.py need Python-`re` semantics — the
+    stopword regex has lookarounds RE2 can't run); every other column
+    stays zero-copy Arrow.  The stages below all take/emit
+    batch_format='pyarrow' so string ids, int keys and payloads never
+    round-trip through pandas objects (r4 verdict finding #2)."""
+    return batch.column("text").to_pandas()
+
+
 def token_stats(ds):
     """(doc_id, n_chars, n_tokens, n_bpe_tokens) — oracle: length() +
     regexp_extract_all with the word and BPE-ish pretokenizer regexes."""
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def fn(batch: pa.Table) -> pa.Table:
+        t = _texts(batch)
+        return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_chars": T.char_count(batch["text"]),
-                "n_tokens": T.token_count(batch["text"]),
-                "n_bpe_tokens": T.bpe_token_count(batch["text"]),
+                "n_chars": T.char_count(t),
+                "n_tokens": T.token_count(t),
+                "n_bpe_tokens": T.bpe_token_count(t),
             }
         )
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def quality(ds):
     """(doc_id, lang, quality 0..1) — deterministic heuristic, rows-only."""
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def fn(batch: pa.Table) -> pa.Table:
+        t = _texts(batch)
+        return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "lang_guess": T.lang_id(batch["text"]),
-                "quality": np.round(T.quality_score(batch["text"]), 6),
+                "lang_guess": pa.array(T.lang_id(t), pa.string()),
+                "quality": np.round(T.quality_score(t), 6),
             }
         )
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def exact_dedup(ds, final: str = "single"):
@@ -61,20 +73,20 @@ def exact_dedup(ds, final: str = "single"):
     and drops the text column immediately (column pruning).
     Oracle: GROUP BY substr(md5(text),1,16)."""
 
-    def hash_stage(batch: pd.DataFrame) -> pd.DataFrame:
+    def hash_stage(batch: pa.Table) -> pa.Table:
         h = [
             hashlib.md5(str(t).encode("utf-8")).hexdigest()[:16]
-            for t in batch["text"]
+            for t in batch.column("text").to_pylist()
         ]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "content_hash": h,
-                "keep_id": batch["doc_id"].to_numpy(),
-                "n_dups": np.ones(len(batch), dtype=np.int64),
+                "content_hash": pa.array(h, pa.string()),
+                "keep_id": batch["doc_id"],
+                "n_dups": np.ones(batch.num_rows, dtype=np.int64),
             }
         )
 
-    hashed = ds.map_batches(hash_stage, batch_format="pandas")
+    hashed = ds.map_batches(hash_stage, batch_format="pyarrow")
     return agg.reduce_by_key(
         hashed, "content_hash", {"keep_id": "min", "n_dups": "sum"}, final=final
     )
@@ -118,16 +130,18 @@ def near_dup_pairs(ds, num_hashes: int = 32, band_size: int = 4,
     n_bands = num_hashes // band_size
     sentinel = np.uint64(T.MINHASH_P)
 
-    def band_stage(batch: pd.DataFrame) -> pd.DataFrame:
+    def band_stage(batch: pa.Table) -> pa.Table:
         sig = T.minhash_signatures_batch(
-            batch["text"], num_hashes, shingle_k, shingle_mode
+            _texts(batch), num_hashes, shingle_k, shingle_mode
         )
         ok = sig[:, 0] != sentinel  # no shingles -> cannot near-dup
         buckets = T.band_buckets(sig[ok], band_size)  # (m, n_bands) int64
-        doc = np.repeat(batch["doc_id"].to_numpy()[ok], n_bands)
-        return pd.DataFrame({"doc_id": doc, "bucket": buckets.ravel()})
+        doc = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False)[ok], n_bands
+        )
+        return pa.table({"doc_id": doc, "bucket": buckets.ravel()})
 
-    bands = ds.map_batches(band_stage, batch_format="pandas")
+    bands = ds.map_batches(band_stage, batch_format="pyarrow")
     cand = exchange.lsh_candidate_pairs(
         bands, "doc_id", "bucket", num_parts, "doc_a", "doc_b",
         hot_bucket_cap=hot_bucket_cap,
@@ -138,20 +152,23 @@ def near_dup_pairs(ds, num_hashes: int = 32, band_size: int = 4,
         cand, docs, "doc_id", "text", "doc_a", "doc_b", num_parts
     )
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+    def verify(batch: pa.Table) -> pa.Table:
         # vectorized exact-Jaccard: shingle each DISTINCT text once (pairs
         # are co-located by doc_a and boilerplate corpora repeat texts
         # across many pairs) into a u64 md5-hash array — same distinct
         # cardinalities as the raw shingle sets — then count every pair's
         # intersection in ONE (pair, value) lexsort + adjacent-equal scan
         # over the whole batch.  No per-pair Python set ops.
-        m = len(batch)
+        m = batch.num_rows
+        id_t = batch.schema.field("doc_a").type
         if m == 0:
-            return batch.assign(jaccard=np.empty(0))[
-                ["doc_a", "doc_b", "jaccard"]
-            ]
+            return pa.table(
+                {"doc_a": pa.array([], id_t), "doc_b": pa.array([], id_t),
+                 "jaccard": pa.array([], pa.float64())}
+            )
         texts = np.concatenate(
-            [batch["text_a"].to_numpy(), batch["text_b"].to_numpy()]
+            [batch["text_a"].to_numpy(zero_copy_only=False),
+             batch["text_b"].to_numpy(zero_copy_only=False)]
         )
         codes, uniq = pd.factorize(texts)
         a_id, b_id = codes[:m], codes[m:]
@@ -202,11 +219,15 @@ def near_dup_pairs(ds, num_hashes: int = 32, band_size: int = 4,
                 n_inter / np.where(n_union > 0, n_union, 1),
                 1.0,
             )
-        out = batch.assign(jaccard=ja_u[uidx])
-        out = out[out["jaccard"] >= threshold]
-        return out[["doc_a", "doc_b", "jaccard"]]
+        ja = ja_u[uidx]
+        keep = ja >= threshold
+        return pa.table(
+            {"doc_a": batch["doc_a"].filter(pa.array(keep)),
+             "doc_b": batch["doc_b"].filter(pa.array(keep)),
+             "jaccard": ja[keep]}
+        )
 
-    return j2.map_batches(verify, batch_format="pandas")
+    return j2.map_batches(verify, batch_format="pyarrow")
 
 
 def simhash_table(ds):
@@ -214,13 +235,13 @@ def simhash_table(ds):
     uint64 signature, kept int64 so Ray sort/exchange never pickles).
     Oracle: oracle/sql.q_simhash (pure integer votes; bit-exact)."""
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        sig = T.simhash64_batch(batch["text"])
-        return pd.DataFrame(
+    def fn(batch: pa.Table) -> pa.Table:
+        sig = T.simhash64_batch(_texts(batch))
+        return pa.table(
             {"doc_id": batch["doc_id"], "simhash": sig.view(np.int64)}
         )
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def simhash_near_dup(ds, max_hamming: int = 7, num_parts: int | None = None,
@@ -240,8 +261,8 @@ def simhash_near_dup(ds, max_hamming: int = 7, num_parts: int | None = None,
     if num_parts is None:
         num_parts = exchange.default_num_parts()
 
-    def band_stage(batch: pd.DataFrame) -> pd.DataFrame:
-        sig = T.simhash64_batch(batch["text"])
+    def band_stage(batch: pa.Table) -> pa.Table:
+        sig = T.simhash64_batch(_texts(batch))
         ok = sig != np.uint64(0)
         sig = sig[ok]
         shifts = (np.uint64(8) * np.arange(8, dtype=np.uint64))[None, :]
@@ -249,10 +270,10 @@ def simhash_near_dup(ds, max_hamming: int = 7, num_parts: int | None = None,
         # integer bucket b*256 + chunk (bijective with the (band, chunk)
         # pair; same expression in the SQL twin)
         buckets = np.arange(8, dtype=np.int64)[None, :] * 256 + chunk
-        doc = np.repeat(batch["doc_id"].to_numpy()[ok], 8)
-        return pd.DataFrame({"doc_id": doc, "bucket": buckets.ravel()})
+        doc = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False)[ok], 8)
+        return pa.table({"doc_id": doc, "bucket": buckets.ravel()})
 
-    bands = ds.map_batches(band_stage, batch_format="pandas")
+    bands = ds.map_batches(band_stage, batch_format="pyarrow")
     cand = exchange.lsh_candidate_pairs(
         bands, "doc_id", "bucket", num_parts, "doc_a", "doc_b",
         hot_bucket_cap=hot_bucket_cap,
@@ -279,12 +300,13 @@ def simhash_near_dup(ds, max_hamming: int = 7, num_parts: int | None = None,
 def fingerprints(ds):
     """(doc_id, fingerprint) rolling-hash winnowing fingerprint (rows-only)."""
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": batch["doc_id"], "fingerprint": T.fingerprint(batch["text"])}
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             "fingerprint": T.fingerprint(_texts(batch))}
         )
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def term_counts(ds, top_n: int = 100):
@@ -299,16 +321,16 @@ def term_counts(ds, top_n: int = 100):
     vocabulary is the shuffle payload; Zipf skew is absorbed by the
     map-side combine (a hot term contributes one row per block)."""
 
-    def explode_count(batch: pd.DataFrame) -> pd.DataFrame:
-        tokens = batch["text"].str.lower().str.findall(T.TOKEN_RE)
+    def explode_count(batch: pa.Table) -> pa.Table:
+        tokens = _texts(batch).str.lower().str.findall(T.TOKEN_RE)
         flat = tokens.explode().dropna()
         vc = flat.value_counts()
-        return pd.DataFrame(
-            {"term": vc.index.to_numpy(dtype=object),
+        return pa.table(
+            {"term": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
              "n": vc.to_numpy(dtype=np.int64)}
         )
 
-    partials = ds.map_batches(explode_count, batch_format="pandas")
+    partials = ds.map_batches(explode_count, batch_format="pyarrow")
     red = agg.reduce_by_key(partials, "term", {"n": "sum"}, final="single")
 
     def truncate(batch: pa.Table) -> pa.Table:

@@ -773,12 +773,24 @@ def topk_merge_partials(partials, merge_fn, merge: str = "single",
     )
 
 
-def hot_key_histogram(ds, key_col: str, top_n: int = 64):
+def hot_key_histogram(ds, key_col: str, top_n: int = 64,
+                      with_total: bool = False,
+                      total_sentinel: int = -(1 << 63)):
     """Cheap first-pass histogram for salting decisions: per-block top-N
     partial counts -> distributed tree merge (stages/agg.tree_reduce_by_key)
     -> final top-N truncation in ONE task.  The driver only ever pulls
-    <= top_n rows — no linear-in-num_blocks driver merge."""
+    <= top_n rows — no linear-in-num_blocks driver merge.
+
+    `with_total=True` returns `(hist, total_rows)` from the SAME single
+    pass: each block's partial appends one sentinel-key row carrying the
+    block's row count, the tree reduce sums it like any other key, and the
+    final extraction pops it.  The sentinel must be a value key_col can
+    never hold — the int64-min default is safe for cellid sort keys (it
+    maps back to uint64 id 0, which is not a valid cell id) and for any
+    non-negative key domain."""
     from . import agg
+
+    keep_n = top_n + 1 if with_total else top_n
 
     def partial(batch: pa.Table) -> pa.Table:
         k = batch[key_col].to_numpy(zero_copy_only=False)
@@ -786,21 +798,26 @@ def hot_key_histogram(ds, key_col: str, top_n: int = 64):
         if len(uk) > top_n:
             idx = np.argpartition(-counts, top_n)[:top_n]
             uk, counts = uk[idx], counts[idx]
+        if with_total:
+            uk = np.concatenate([uk, [total_sentinel]]).astype(np.int64)
+            counts = np.concatenate([counts, [batch.num_rows]])
         return pa.table({key_col: uk, "n": counts.astype(np.int64)})
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     merged = agg.tree_reduce_by_key(partials, key_col, {"n": "sum"})
 
     def truncate(batch: pa.Table) -> pa.Table:
-        if batch.num_rows <= top_n:
+        if batch.num_rows <= keep_n:
             return batch
         n = batch["n"].to_numpy(zero_copy_only=False)
-        idx = np.argpartition(-n, top_n)[:top_n]
+        idx = np.argpartition(-n, keep_n)[:keep_n]
         return batch.take(pa.array(np.sort(idx)))
 
     rows = merged.map_batches(truncate, batch_format="pyarrow").take_all()
     out = {row[key_col]: row["n"] for row in rows}
-    return dict(sorted(out.items(), key=lambda kv: -kv[1])[:top_n])
+    total = out.pop(total_sentinel, 0) if with_total else None
+    hist = dict(sorted(out.items(), key=lambda kv: -kv[1])[:top_n])
+    return (hist, total) if with_total else hist
 
 
 def salted_key(keys: np.ndarray, row_hash: np.ndarray, hot_keys: set, salt: int):

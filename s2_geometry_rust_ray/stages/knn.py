@@ -58,13 +58,36 @@ class BruteKnn:
         lng = batch["lng"].to_numpy(zero_copy_only=False)
         x, y, z = latlng_deg_to_xyz(lat, lng)
         keys = batch[self.key_col].to_numpy(zero_copy_only=False)
+        n = len(keys)
         out_q, out_key, out_d2 = [], [], []
-        for qi in range(len(self.qid)):
-            d2 = chord2_point_to_points(self.qx[qi], self.qy[qi], self.qz[qi], x, y, z)
-            sel = local_topk(d2, keys, self.k)
-            out_q.append(np.full(sel.size, self.qid[qi], dtype=np.int64))
-            out_key.append(keys[sel])
-            out_d2.append(d2[sel])
+        # ALL queries at once: the same elementwise (dx*dx+dy*dy)+dz*dz
+        # over a broadcast (q_chunk, N) grid — bit-identical to the
+        # per-query formula (the SQL oracle contract), but one vector
+        # pass instead of Q sequential ones.  NOT a 2-2*dot matmul: that
+        # changes the floating-point expression and breaks hash parity.
+        # Chunk queries so the f64 temporaries stay ~32 MB.
+        chunk = max(1, int(4_000_000 // max(n, 1)))
+        for s in range(0, len(self.qid), chunk):
+            e = min(len(self.qid), s + chunk)
+            d2m = chord2_point_to_points(
+                self.qx[s:e, None], self.qy[s:e, None], self.qz[s:e, None],
+                x[None, :], y[None, :], z[None, :],
+            )
+            if n > self.k:
+                # bulk row-wise k-smallest thresholds in one argpartition
+                part = np.argpartition(d2m, self.k - 1, axis=1)[:, : self.k]
+                thr = np.take_along_axis(d2m, part, axis=1).max(axis=1)
+            for i in range(e - s):  # tiny tie-safe select per query
+                d2 = d2m[i]
+                if n <= self.k:
+                    sel = np.lexsort((keys, d2))
+                else:
+                    cand = np.nonzero(d2 <= thr[i])[0]
+                    o = np.lexsort((keys[cand], d2[cand]))[: self.k]
+                    sel = cand[o]
+                out_q.append(np.full(sel.size, self.qid[s + i], dtype=np.int64))
+                out_key.append(keys[sel])
+                out_d2.append(d2[sel])
         return pa.table(
             {
                 "query_id": np.concatenate(out_q),

@@ -516,3 +516,62 @@ def test_drop_contained_precision_no_float_collapse():
                           np.atleast_1d(parent).astype(np.uint64)])
     kept = _drop_contained(ids)
     assert len(kept) == 1 and kept[0] == np.atleast_1d(parent)[0]
+
+
+def test_hot_key_histogram_with_total(ray_session):
+    """with_total=True returns the exact total row count from the same
+    single pass (sentinel-row tree reduce), and the sentinel never leaks
+    into the histogram."""
+    import ray.data
+
+    k = np.concatenate([np.full(900, 7), np.arange(100)]).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": k})).repartition(4)
+    hist, total = exchange.hot_key_histogram(ds, "k", top_n=3,
+                                             with_total=True)
+    assert total == 1000
+    assert max(hist, key=hist.get) == 7 and hist[7] == 901
+    assert -(1 << 63) not in hist
+
+    # degenerate: ONE key holds every row (count ties the sentinel) —
+    # both must survive the keep_n truncation
+    one = ray.data.from_arrow(
+        pa.table({"k": np.full(50, 3, dtype=np.int64)})
+    ).repartition(2)
+    hist1, total1 = exchange.hot_key_histogram(one, "k", top_n=1,
+                                               with_total=True)
+    assert total1 == 50 and hist1 == {3: 50}
+
+
+def test_shuffle_pip_auto_sampled_histogram(ray_session):
+    """salt='auto' must stay output-invariant with the sampled histogram
+    pass, at a sampling fraction small enough to miss tiles (1/8) AND at
+    full sampling (1,1) which deterministically triggers the hot-tile
+    salting — and the pipeline must not materialize the candidate set."""
+    import pandas as pd
+    import ray.data
+    from s2_geometry_rust_ray.pipelines import pip as ppip
+    from s2_geometry_rust_ray.pipelines import pip_shuffle
+
+    layer = ppip.standard_polygon_layer()
+    rng = np.random.default_rng(23)
+    n = 3000
+    hot = n // 3
+    lat = np.concatenate([40.75 + rng.uniform(-0.05, 0.05, hot),
+                          rng.uniform(-60, 60, n - hot)])
+    lng = np.concatenate([-74.0 + rng.uniform(-0.05, 0.05, hot),
+                          rng.uniform(-179, 179, n - hot)])
+    df = pd.DataFrame({"k": np.arange(n, dtype=np.int64),
+                       "lat": lat, "lng": lng})
+
+    def run(salt, hist_sample=(1, 8)):
+        ds = ray.data.from_pandas(df).repartition(4)
+        return pip_shuffle.shuffle_pip_join(
+            ds, "k", layer, level=7, num_parts=4, salt=salt,
+            pretagged=True, hot_factor=0.5, hist_sample=hist_sample,
+        ).to_pandas().sort_values(["k", "polygon_id"]).reset_index(
+            drop=True)
+
+    base = run(1)
+    assert len(base) > 0
+    assert base.equals(run("auto", (1, 8)))
+    assert base.equals(run("auto", (1, 1)))
