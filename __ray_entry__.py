@@ -353,6 +353,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, queries, np.arange(10), cent, k=10, nprobe=6
         )
 
+    def q_ann_ivf_indexed(sf_dir: str):
+        # the STORAGE-pruned IVF path (r4 verdict #3): embeddings written
+        # once partitioned by ivf_bucket, the query reads ONLY the probed
+        # bucket directories.  Output identical to ann_ivf_topk (pytest
+        # asserts equality); rows-only here for the same float-dot reason.
+        import hashlib as _hl
+        import shutil
+        import tempfile
+        import os
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from s2_geometry_rust_ray.stages import simsearch
+
+        ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        sample_tbl = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+        ).slice(0, 2048)
+        sample = np.stack(sample_tbl["embedding"].to_numpy(zero_copy_only=False))
+        cent = simsearch.train_centroids(
+            sample.astype("float32"), n_centroids=16
+        )
+        tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        idx_dir = os.path.join(tempfile.gettempdir(), f"graft_ivf_{tag}")
+        shutil.rmtree(idx_dir, ignore_errors=True)  # stale-file safety
+        simsearch.build_ivf_index(ds, cent, idx_dir)
+        rng = np.random.default_rng(42)
+        queries = rng.normal(size=(10, 64)).astype("float32")
+        return simsearch.ann_topk_ivf_indexed(
+            idx_dir, queries, np.arange(10), cent, k=10, nprobe=6
+        )
+
     def q_emb_near_dup_q15(sf_dir: str):
         # exact-arithmetic variant of q_emb_near_dup: same union-with-
         # offset-copy corpus, integer Q15 buckets + dots -> hash-exact twin
@@ -520,6 +553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": q_ann,
         "ann_topk_q15": q_ann_q15,
         "ann_ivf_topk": q_ann_ivf,
+        "ann_ivf_indexed_topk": q_ann_ivf_indexed,
         "emb_near_dup_q15": q_emb_near_dup_q15,
         "emb_near_dup_pairs": q_emb_near_dup,
         "h3_tile_counts_r5": lambda sf_dir: tiling.h3_tile_counts(

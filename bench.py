@@ -512,11 +512,50 @@ def run_scaling() -> dict:
     return res
 
 
+def run_gated() -> dict:
+    """Official-capture window discipline (r4 verdict #5): this sandbox's
+    CPU grant swings 2-4x across minutes, and an official artifact
+    captured in a throttled window reads as an engine regression even
+    when every healthy-window sample improved.  Gate the capture on the
+    probes the artifact already carries: (1) wait — bounded by
+    GRAFT_PROBE_WAIT_MAX — for a healthy host-parallelism probe before
+    starting; (2) if the END-of-run probe still shows a throttled window,
+    take one more attempt (GRAFT_BENCH_ATTEMPTS, default 2) and keep the
+    run with the healthier closing probe.  GRAFT_PROBE_MIN=0 disables the
+    gate; headline-only (scaling subprocess) runs are never gated."""
+    import ray
+
+    min_probe = float(os.environ.get("GRAFT_PROBE_MIN", "10"))
+    max_wait = float(os.environ.get("GRAFT_PROBE_WAIT_MAX", "120"))
+    attempts = max(1, int(os.environ.get("GRAFT_BENCH_ATTEMPTS", "2")))
+    best = None
+    for attempt in range(1, attempts + 1):
+        waited = 0.0
+        pre = _host_parallelism_probe()
+        while pre < min_probe and waited < max_wait:
+            time.sleep(15)
+            waited += 15
+            pre = _host_parallelism_probe()
+        r = run_benchmarks()
+        r["pre_run_probe"] = pre
+        r["attempt"] = attempt
+        post = r.get("host_parallelism_probe") or 0
+        if best is None or post > (best.get("host_parallelism_probe") or 0):
+            best = r
+        if post >= min_probe:
+            break
+        if attempt < attempts and ray.is_initialized():
+            ray.shutdown()  # fresh session for the retry
+    return best
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
-    else:
+    elif os.environ.get("GRAFT_HEADLINE_ONLY") == "1":
         print(json.dumps(run_benchmarks()))
+    else:
+        print(json.dumps(run_gated()))
     import ray
 
     if ray.is_initialized():

@@ -229,7 +229,10 @@ def ann_topk_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, centroids,
                  merge: str = "single"):
     """IVF-pruned cosine top-k: scan only batches' rows whose bucket is in
     each query's nprobe nearest buckets.  Approximate (standard IVF recall
-    tradeoff); bucket assignment is the partition key at scale."""
+    tradeoff).  This form prunes COMPUTE only — at scale, build the
+    bucket-partitioned index once (build_ivf_index) and query it with
+    ann_topk_ivf_indexed, which prunes the READ to the probed bucket
+    directories (identical output)."""
     import ray
 
     cent = _normalize(np.asarray(centroids, dtype=np.float32))
@@ -276,6 +279,59 @@ def ann_topk_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, centroids,
         concurrency=concurrency,
     )
     return _merge_partials(partials, k, merge)
+
+
+def build_ivf_index(ds, centroids, out_dir: str, concurrency=None):
+    """Materialize the embeddings table PARTITIONED BY IVF BUCKET (hive
+    layout out_dir/ivf_bucket=<b>/...) — the bucket becomes the STORAGE
+    layout, so an indexed query prunes at the READ: only the probed
+    bucket directories leave storage, ~nprobe/n_centroids of the data
+    instead of a full scan filtered per batch (r4 verdict #3).  Also the
+    resumable-output shape: one directory per bucket, re-buildable per
+    bucket.  Returns out_dir."""
+    tagged = _actor_map(
+        ds, IVFAssign, fn_constructor_kwargs={"centroids": centroids},
+        batch_size=65536, concurrency=concurrency,
+    )
+    tagged.write_parquet(out_dir, partition_cols=["ivf_bucket"])
+    return out_dir
+
+
+def ann_topk_ivf_indexed(index_dir: str, queries: np.ndarray,
+                         query_ids: np.ndarray, centroids, k: int = 10,
+                         nprobe: int = 4, concurrency=None,
+                         merge: str = "single"):
+    """IVF top-k over a build_ivf_index directory: I/O pruning, not just
+    compute pruning.  The union of every query's nprobe nearest buckets
+    selects which partition DIRECTORIES are read at all; the per-query
+    nprobe restriction (and the exact per-row bucket re-derivation, the
+    same argmax the writer ran) then runs inside the scan as before, so
+    the output is identical to ann_topk_ivf over the full table."""
+    import os
+
+    import ray.data
+
+    cent = _normalize(np.asarray(centroids, dtype=np.float32))
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
+    paths = []  # empty buckets were never written
+    for b in np.unique(probe):
+        d = os.path.join(index_dir, f"ivf_bucket={int(b)}")
+        if os.path.isdir(d):
+            paths.extend(sorted(
+                os.path.join(d, f) for f in os.listdir(d)
+                if f.endswith(".parquet")
+            ))
+    if not paths:
+        return ray.data.from_arrow(pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "vec_id": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64()),
+             "rank": pa.array([], pa.int64())}
+        ))
+    ds = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+    return ann_topk_ivf(ds, queries, query_ids, cent, k=k, nprobe=nprobe,
+                        concurrency=concurrency, merge=merge)
 
 
 def embedding_near_dup(ds, threshold: float = 0.9, num_planes: int = 16,

@@ -117,6 +117,40 @@ def test_ann_ivf_recall(ray_session):
     assert np.mean(rec) >= 0.6, rec
 
 
+def test_ann_ivf_indexed_matches_unindexed(ray_session, tmp_path):
+    """The bucket-partitioned index path must return EXACTLY the rows of
+    the full-scan IVF path (same probe set, same per-row bucket argmax,
+    same float dots — only the I/O is pruned)."""
+    import ray.data
+
+    from s2_geometry_rust_ray.stages import simsearch
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = simsearch.batch_embeddings(tbl)
+    cent = simsearch.train_centroids(emb, 16)
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=(5, 64)).astype("float32")
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    full = simsearch.ann_topk_ivf(
+        ds, q, np.arange(5), cent, k=10, nprobe=4
+    ).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    idx_dir = str(tmp_path / "ivf_idx")
+    ds2 = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    simsearch.build_ivf_index(ds2, cent, idx_dir)
+    # only probed bucket dirs should be read; assert the layout exists
+    import os
+    assert any(d.startswith("ivf_bucket=") for d in os.listdir(idx_dir))
+    indexed = simsearch.ann_topk_ivf_indexed(
+        idx_dir, q, np.arange(5), cent, k=10, nprobe=4
+    ).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert np.array_equal(full["vec_id"].values, indexed["vec_id"].values)
+    assert np.array_equal(full["query_id"].values, indexed["query_id"].values)
+    assert np.allclose(full["cosine"].values, indexed["cosine"].values)
+
+
 def test_window_counts_total(ray_session):
     import ray.data
 
