@@ -328,63 +328,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
         queries = rng.normal(size=(10, 64)).astype("float32")
         return simsearch.ann_topk(ds, queries, np.arange(10), k=10)
 
+    def _ivf_setup(sf_dir: str):
+        # ONE setup shared by the full-scan and indexed IVF queries: the
+        # two outputs are asserted equal (pytest), so sample size, seed,
+        # n_centroids and the query matrix must stay in lockstep
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from s2_geometry_rust_ray.stages import simsearch
+
+        ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        sample_tbl = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+        ).slice(0, 2048)
+        sample = np.stack(sample_tbl["embedding"].to_numpy(zero_copy_only=False))
+        cent = simsearch.train_centroids(
+            sample.astype("float32"), n_centroids=16
+        )
+        rng = np.random.default_rng(42)
+        queries = rng.normal(size=(10, 64)).astype("float32")
+        return ds, cent, queries, np.arange(10)
+
     def q_ann_ivf(sf_dir: str):
         # the IVF scale path registered in the driver contract: centroids
         # trained on a deterministic sample, nprobe covering enough
         # buckets that the pytest recall oracle holds; rows-only (IVF is
         # approximate by design — see tests/test_textops.py for the
         # brute-force recall check)
-        import numpy as np
-        import pyarrow.parquet as pq
-
         from s2_geometry_rust_ray.stages import simsearch
 
-        ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        sample_tbl = pq.read_table(
-            f"{sf_dir}/embeddings.parquet", columns=["embedding"]
-        ).slice(0, 2048)
-        sample = np.stack(sample_tbl["embedding"].to_numpy(zero_copy_only=False))
-        cent = simsearch.train_centroids(
-            sample.astype("float32"), n_centroids=16
-        )
-        rng = np.random.default_rng(42)
-        queries = rng.normal(size=(10, 64)).astype("float32")
+        ds, cent, queries, qids = _ivf_setup(sf_dir)
         return simsearch.ann_topk_ivf(
-            ds, queries, np.arange(10), cent, k=10, nprobe=6
+            ds, queries, qids, cent, k=10, nprobe=6
         )
 
     def q_ann_ivf_indexed(sf_dir: str):
-        # the STORAGE-pruned IVF path (r4 verdict #3): embeddings written
-        # once partitioned by ivf_bucket, the query reads ONLY the probed
-        # bucket directories.  Output identical to ann_ivf_topk (pytest
-        # asserts equality); rows-only here for the same float-dot reason.
-        import hashlib as _hl
+        # the STORAGE-pruned IVF path (r4 verdict #3): this correctness
+        # query builds a throwaway bucket-partitioned index (a real
+        # deployment builds it ONCE and amortizes it over every query),
+        # reads ONLY the probed bucket directories, and removes the index
+        # after consuming the (tiny) result — a unique mkdtemp per call,
+        # so concurrent runs never race and /tmp never accumulates.
+        # Output identical to ann_ivf_topk (pytest asserts equality);
+        # rows-only for the same float-dot reason.
         import shutil
         import tempfile
-        import os
-
-        import numpy as np
-        import pyarrow.parquet as pq
 
         from s2_geometry_rust_ray.stages import simsearch
 
-        ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        sample_tbl = pq.read_table(
-            f"{sf_dir}/embeddings.parquet", columns=["embedding"]
-        ).slice(0, 2048)
-        sample = np.stack(sample_tbl["embedding"].to_numpy(zero_copy_only=False))
-        cent = simsearch.train_centroids(
-            sample.astype("float32"), n_centroids=16
-        )
-        tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-        idx_dir = os.path.join(tempfile.gettempdir(), f"graft_ivf_{tag}")
-        shutil.rmtree(idx_dir, ignore_errors=True)  # stale-file safety
-        simsearch.build_ivf_index(ds, cent, idx_dir)
-        rng = np.random.default_rng(42)
-        queries = rng.normal(size=(10, 64)).astype("float32")
-        return simsearch.ann_topk_ivf_indexed(
-            idx_dir, queries, np.arange(10), cent, k=10, nprobe=6
-        )
+        ds, cent, queries, qids = _ivf_setup(sf_dir)
+        idx_dir = tempfile.mkdtemp(prefix="graft_ivf_")
+        try:
+            simsearch.build_ivf_index(ds, cent, idx_dir)
+            return simsearch.ann_topk_ivf_indexed(
+                idx_dir, queries, qids, cent, k=10, nprobe=6
+            ).to_pandas()
+        finally:
+            shutil.rmtree(idx_dir, ignore_errors=True)
 
     def q_emb_near_dup_q15(sf_dir: str):
         # exact-arithmetic variant of q_emb_near_dup: same union-with-

@@ -265,10 +265,18 @@ def shuffle_pip_join(ds, key_col: str, layer, level: int = 8,
             k = batch[key_col].to_numpy(zero_copy_only=False)
             if k.dtype.kind in "iu":
                 h = splitmix64(k)
-            else:  # string keys: deterministic cross-worker hash
+            elif k.dtype.kind == "O":  # strings: deterministic x-worker
                 import pandas as pd
 
                 h = pd.util.hash_array(np.asarray(k)).astype(np.uint64)
+            else:
+                # nullable ints arrive as float64: hashing rounded/NaN
+                # values silently breaks the deterministic-sample contract
+                # (same guard as textops.sample_by_hash)
+                raise TypeError(
+                    f"salt='auto' sampling needs an integer or string key "
+                    f"column; {key_col!r} has dtype {k.dtype}"
+                )
             return batch.filter(pa.array(h < thr))
 
         sampled = ds if s_num >= s_den else ds.map_batches(

@@ -794,6 +794,13 @@ def hot_key_histogram(ds, key_col: str, top_n: int = 64,
 
     def partial(batch: pa.Table) -> pa.Table:
         k = batch[key_col].to_numpy(zero_copy_only=False)
+        if with_total and k.dtype.kind not in "iu":
+            # the sentinel trick needs an integer key domain; fail loudly
+            # instead of inside astype in a remote task
+            raise TypeError(
+                f"hot_key_histogram(with_total=True) requires an integer "
+                f"key column; {key_col!r} has dtype {k.dtype}"
+            )
         uk, counts = np.unique(k, return_counts=True)
         if len(uk) > top_n:
             idx = np.argpartition(-counts, top_n)[:top_n]

@@ -88,6 +88,12 @@ class BruteKnn:
                 out_q.append(np.full(sel.size, self.qid[s + i], dtype=np.int64))
                 out_key.append(keys[sel])
                 out_d2.append(d2[sel])
+        if not out_q:  # zero queries: typed empty partial, not a crash
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor": pa.array(keys[:0]),
+                 "d2": pa.array([], pa.float64())}
+            )
         return pa.table(
             {
                 "query_id": np.concatenate(out_q),

@@ -235,6 +235,10 @@ def ann_topk_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, centroids,
     directories (identical output)."""
     import ray
 
+    # normalize EXACTLY ONCE from the caller's array; the same cent goes
+    # to both the probe selection and the actors' per-row argmax.  Callers
+    # must hand every IVF entry point (build_ivf_index, ann_topk_ivf,
+    # ann_topk_ivf_indexed) the SAME centroid array for bucket parity.
     cent = _normalize(np.asarray(centroids, dtype=np.float32))
     q = _normalize(np.asarray(queries, dtype=np.float32))
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
@@ -242,7 +246,14 @@ def ann_topk_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, centroids,
     class IVFTopK(BruteCosineTopK):
         def __init__(self, queries, query_ids, k, centroids, probe):
             super().__init__(queries, query_ids, k)
-            self.cent = _normalize(np.asarray(centroids, dtype=np.float32))
+            # already normalized by ann_topk_ivf: _normalize is NOT
+            # bit-idempotent (~1/3 of unit rows move one ulp on a second
+            # pass), and a re-normalize here would desync the per-row
+            # argmax from the probe set and from the buckets the index
+            # writer (IVFAssign, one normalize of the same caller array)
+            # assigned — an ulp-tied row could then silently vanish from
+            # the indexed read path
+            self.cent = np.asarray(centroids, dtype=np.float32)
             self.probe = probe
 
         def __call__(self, batch: pa.Table) -> pa.Table:
@@ -311,6 +322,16 @@ def ann_topk_ivf_indexed(index_dir: str, queries: np.ndarray,
 
     import ray.data
 
+    if not os.path.isdir(index_dir):
+        raise FileNotFoundError(
+            f"IVF index directory {index_dir!r} does not exist — build it "
+            "with build_ivf_index first (a missing index must not read as "
+            "'zero neighbors everywhere')"
+        )
+    # one normalize for directory probing — bit-identical to the one the
+    # inner ann_topk_ivf call performs, because BOTH start from the
+    # caller's raw array (centroids is passed through un-normalized below;
+    # _normalize is not bit-idempotent)
     cent = _normalize(np.asarray(centroids, dtype=np.float32))
     q = _normalize(np.asarray(queries, dtype=np.float32))
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
@@ -330,8 +351,8 @@ def ann_topk_ivf_indexed(index_dir: str, queries: np.ndarray,
              "rank": pa.array([], pa.int64())}
         ))
     ds = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
-    return ann_topk_ivf(ds, queries, query_ids, cent, k=k, nprobe=nprobe,
-                        concurrency=concurrency, merge=merge)
+    return ann_topk_ivf(ds, queries, query_ids, centroids, k=k,
+                        nprobe=nprobe, concurrency=concurrency, merge=merge)
 
 
 def embedding_near_dup(ds, threshold: float = 0.9, num_planes: int = 16,
