@@ -384,6 +384,81 @@ def run_benchmarks() -> dict:
             ).count()
             queries[qname] = time.perf_counter() - t0
 
+        # IVF read-pruning evidence (r4 verdict #3): build the
+        # bucket-partitioned index once (its own timed entry — a real
+        # operator: IVFAssign + hive-partitioned write), then run the
+        # SAME query two ways over the SAME storage: a full scan reading
+        # every bucket file vs the indexed path reading only the probed
+        # bucket directories (nprobe=4 of 16 => ~4x less I/O; outputs
+        # bit-identical, tested).
+        import glob as _glob
+        import shutil as _sh
+        import tempfile as _tf
+
+        import numpy as _np
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+        import ray.data as _rd
+
+        from s2_geometry_rust_ray.stages import simsearch as _ss
+
+        emb_t = _pq.read_table(
+            f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        base_vecs = _ss.batch_embeddings(emb_t).astype("float32")
+        base_ids = emb_t["vec_id"].to_numpy()
+        dim = base_vecs.shape[1]
+        ivf_expand = int(os.environ.get("GRAFT_IVF_EXPAND", "1024"))
+        n_vec = len(base_ids) * ivf_expand
+        cent = _ss.train_centroids(base_vecs, 16)
+        ivf_q = _np.random.default_rng(42).normal(size=(10, dim)).astype(
+            "float32"
+        )
+
+        def _expanded_vectors():
+            src = _rd.range(
+                n_vec,
+                override_num_blocks=max(NUM_CPUS * 2, n_vec // 200_000),
+            )
+
+            def explode(b: _pa.Table) -> _pa.Table:
+                i = b["id"].to_numpy(zero_copy_only=False)
+                j = i // ivf_expand
+                rep = (i % ivf_expand).astype(_np.int64)
+                m = len(i)
+                vals = _pa.array(base_vecs[j].ravel(), _pa.float32())
+                offs = _pa.array(
+                    (_np.arange(m + 1, dtype=_np.int32) * dim)
+                )
+                return _pa.table(
+                    {"vec_id": base_ids[j] * ivf_expand + rep,
+                     "embedding": _pa.ListArray.from_arrays(offs, vals)}
+                )
+
+            return src.map_batches(explode, batch_format="pyarrow")
+
+        idx_dir = _tf.mkdtemp(prefix="graft_bench_ivf_")
+        try:
+            t0 = time.perf_counter()
+            _ss.build_ivf_index(_expanded_vectors(), cent, idx_dir)
+            queries["ivf_index_build"] = time.perf_counter() - t0
+
+            all_files = sorted(_glob.glob(f"{idx_dir}/*/*.parquet"))
+            t0 = time.perf_counter()
+            _ss.ann_topk_ivf(
+                _rd.read_parquet(all_files, columns=["vec_id", "embedding"]),
+                ivf_q, _np.arange(10), cent, k=10, nprobe=4,
+            ).count()
+            queries["ann_ivf_full_scan"] = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            _ss.ann_topk_ivf_indexed(
+                idx_dir, ivf_q, _np.arange(10), cent, k=10, nprobe=4
+            ).count()
+            queries["ann_ivf_indexed"] = time.perf_counter() - t0
+        finally:
+            _sh.rmtree(idx_dir, ignore_errors=True)
+
         queries["noop_kernel_control"] = _noop_control()
 
     headline = queries["encode_tile_l8"]

@@ -58,36 +58,24 @@ class BruteKnn:
         lng = batch["lng"].to_numpy(zero_copy_only=False)
         x, y, z = latlng_deg_to_xyz(lat, lng)
         keys = batch[self.key_col].to_numpy(zero_copy_only=False)
-        n = len(keys)
         out_q, out_key, out_d2 = [], [], []
-        # ALL queries at once: the same elementwise (dx*dx+dy*dy)+dz*dz
-        # over a broadcast (q_chunk, N) grid — bit-identical to the
-        # per-query formula (the SQL oracle contract), but one vector
-        # pass instead of Q sequential ones.  NOT a 2-2*dot matmul: that
-        # changes the floating-point expression and breaks hash parity.
-        # Chunk queries so the f64 temporaries stay ~32 MB.
-        chunk = max(1, int(4_000_000 // max(n, 1)))
-        for s in range(0, len(self.qid), chunk):
-            e = min(len(self.qid), s + chunk)
-            d2m = chord2_point_to_points(
-                self.qx[s:e, None], self.qy[s:e, None], self.qz[s:e, None],
-                x[None, :], y[None, :], z[None, :],
-            )
-            if n > self.k:
-                # bulk row-wise k-smallest thresholds in one argpartition
-                part = np.argpartition(d2m, self.k - 1, axis=1)[:, : self.k]
-                thr = np.take_along_axis(d2m, part, axis=1).max(axis=1)
-            for i in range(e - s):  # tiny tie-safe select per query
-                d2 = d2m[i]
-                if n <= self.k:
-                    sel = np.lexsort((keys, d2))
-                else:
-                    cand = np.nonzero(d2 <= thr[i])[0]
-                    o = np.lexsort((keys[cand], d2[cand]))[: self.k]
-                    sel = cand[o]
-                out_q.append(np.full(sel.size, self.qid[s + i], dtype=np.int64))
-                out_key.append(keys[sel])
-                out_d2.append(d2[sel])
+        # Deliberately ONE query per numpy pass: each pass is already
+        # fully vectorized over the long (N) axis with N-sized f64 temps
+        # that stay cache/L3-resident across the Q iterations.  A
+        # broadcast (q_chunk, N) variant was measured 1.2-2x SLOWER
+        # single-threaded at every (N, Q, chunk) tried — N=262144/Q=25
+        # and N=4096..32768/Q=200 — and ~6x slower under 27-way task
+        # concurrency on a DRAM-bandwidth-limited host (bench knn_brute
+        # 1.25 s -> 7.2 s), because q_chunk x N temporaries are pure
+        # DRAM traffic.  The Python loop costs Q numpy dispatches, which
+        # is noise.  (A 2-2*dot matmul is also out: it changes the
+        # floating-point expression and breaks oracle hash parity.)
+        for qi in range(len(self.qid)):
+            d2 = chord2_point_to_points(self.qx[qi], self.qy[qi], self.qz[qi], x, y, z)
+            sel = local_topk(d2, keys, self.k)
+            out_q.append(np.full(sel.size, self.qid[qi], dtype=np.int64))
+            out_key.append(keys[sel])
+            out_d2.append(d2[sel])
         if not out_q:  # zero queries: typed empty partial, not a crash
             return pa.table(
                 {"query_id": pa.array([], pa.int64()),
