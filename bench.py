@@ -411,9 +411,13 @@ def run_benchmarks() -> dict:
         ivf_expand = int(os.environ.get("GRAFT_IVF_EXPAND", "1024"))
         n_vec = len(base_ids) * ivf_expand
         cent = _ss.train_centroids(base_vecs, 16)
-        ivf_q = _np.random.default_rng(42).normal(size=(10, dim)).astype(
+        # a SMALL query set whose probe union actually prunes: 10 random
+        # queries x nprobe=4 over 16 centroids touch every bucket (no
+        # pruning to demonstrate); 2 queries x nprobe=2 read <= 4/16
+        ivf_q = _np.random.default_rng(42).normal(size=(2, dim)).astype(
             "float32"
         )
+        ivf_nprobe = 2
 
         def _expanded_vectors():
             src = _rd.range(
@@ -426,7 +430,19 @@ def run_benchmarks() -> dict:
                 j = i // ivf_expand
                 rep = (i % ivf_expand).astype(_np.int64)
                 m = len(i)
-                vals = _pa.array(base_vecs[j].ravel(), _pa.float32())
+                # deterministic per-(row, dim) jitter: EXACT replicas
+                # dictionary-compress to ~nothing (2M vectors -> 18 MB),
+                # which deletes the very I/O the pruning entry measures
+                u = i.astype(_np.uint64)
+                g = (
+                    (u[:, None] * _np.uint64(2654435761)
+                     + _np.arange(dim, dtype=_np.uint64)[None, :]
+                     * _np.uint64(40503))
+                    & _np.uint64(0xFFFF)
+                ).astype(_np.float32)
+                vecs = base_vecs[j] + (g / _np.float32(65536.0)
+                                       - _np.float32(0.5)) * _np.float32(0.02)
+                vals = _pa.array(vecs.ravel(), _pa.float32())
                 offs = _pa.array(
                     (_np.arange(m + 1, dtype=_np.int32) * dim)
                 )
@@ -444,16 +460,18 @@ def run_benchmarks() -> dict:
             queries["ivf_index_build"] = time.perf_counter() - t0
 
             all_files = sorted(_glob.glob(f"{idx_dir}/*/*.parquet"))
+            nq = len(ivf_q)
             t0 = time.perf_counter()
             _ss.ann_topk_ivf(
                 _rd.read_parquet(all_files, columns=["vec_id", "embedding"]),
-                ivf_q, _np.arange(10), cent, k=10, nprobe=4,
+                ivf_q, _np.arange(nq), cent, k=10, nprobe=ivf_nprobe,
             ).count()
             queries["ann_ivf_full_scan"] = time.perf_counter() - t0
 
             t0 = time.perf_counter()
             _ss.ann_topk_ivf_indexed(
-                idx_dir, ivf_q, _np.arange(10), cent, k=10, nprobe=4
+                idx_dir, ivf_q, _np.arange(nq), cent, k=10,
+                nprobe=ivf_nprobe,
             ).count()
             queries["ann_ivf_indexed"] = time.perf_counter() - t0
         finally:
