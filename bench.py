@@ -386,10 +386,12 @@ def run_benchmarks() -> dict:
 
         # IVF read-pruning evidence (r4 verdict #3): build the
         # bucket-partitioned index once (its own timed entry — a real
-        # operator: IVFAssign + hive-partitioned write), then run the
-        # SAME query two ways over the SAME storage: a full scan reading
-        # every bucket file vs the indexed path reading only the probed
-        # bucket directories (nprobe=4 of 16 => ~4x less I/O; outputs
+        # operator: IVFAssign + hive-partitioned write over a
+        # materialized-untimed input, same discipline as the docs
+        # family), then run the SAME query two ways over the SAME
+        # storage: a full scan reading every bucket file vs the indexed
+        # path reading only the probed bucket directories (2 queries x
+        # nprobe=2 of 16 => 4 probed buckets, ~4x less I/O; outputs
         # bit-identical, tested).
         import glob as _glob
         import shutil as _sh
@@ -455,8 +457,9 @@ def run_benchmarks() -> dict:
 
         idx_dir = _tf.mkdtemp(prefix="graft_bench_ivf_")
         try:
+            ivf_input = _expanded_vectors().materialize()  # source untimed
             t0 = time.perf_counter()
-            _ss.build_ivf_index(_expanded_vectors(), cent, idx_dir)
+            _ss.build_ivf_index(ivf_input, cent, idx_dir)
             queries["ivf_index_build"] = time.perf_counter() - t0
 
             all_files = sorted(_glob.glob(f"{idx_dir}/*/*.parquet"))

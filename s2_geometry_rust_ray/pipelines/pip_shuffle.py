@@ -23,6 +23,28 @@ from ..stages.encode import geotag_and_encode
 U = np.uint64
 
 
+def _key_hash(k: np.ndarray) -> np.ndarray:
+    """Deterministic uint64 mix of a point-key array, used to derive a
+    row's salt slot: golden-ratio multiply-shift for integer keys,
+    pd.util.hash_array for strings (stable across workers, unlike the
+    PYTHONHASHSEED-randomized builtin).  The hash only spreads rows over
+    salt slots — the join runs on the TRUE tile — so any deterministic
+    mix keeps the output invariant.  Floats (Arrow's spelling of
+    nullable ints) are rejected loudly."""
+    k = np.asarray(k)
+    if k.dtype.kind in "iu":
+        return (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(33))
+    if k.dtype.kind in "OUS":
+        import pandas as pd
+
+        return pd.util.hash_array(k).astype(np.uint64)
+    raise TypeError(
+        f"shuffle_pip_join needs an integer or string point key for "
+        f"salting; got dtype {k.dtype}"
+    )
+
+
 def _drop_contained(ids: np.ndarray) -> np.ndarray:
     """Keep only cells not contained in another cell of the set (sort by
     (range_min asc, range_max desc) and sweep) — containment dedup
@@ -209,11 +231,7 @@ def shuffle_pip_join(ds, key_col: str, layer, level: int = 8,
                 "tile": tiles,
             }
         if usalt > 1:
-            s = (
-                np.asarray(k_c).astype(np.uint64)
-                * np.uint64(0x9E3779B97F4A7C15)
-                >> np.uint64(33)
-            ) % np.uint64(usalt)
+            s = _key_hash(k_c) % np.uint64(usalt)
             out["part_key"] = (
                 tiles.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F) + s
             ).view(np.int64)
@@ -254,34 +272,10 @@ def shuffle_pip_join(ds, key_col: str, layer, level: int = 8,
         # streams.  Salting decisions are heuristic and output-invariant
         # (dedup + true-tile join), so sampled estimates are safe; a hot
         # tile missed by the sample just stays unsalted.
+        from .textops import sample_by_hash
+
         s_num, s_den = hist_sample
-        # num >= den would overflow uint64 (2^64): keep everything instead
-        thr = (np.uint64(((1 << 64) * s_num) // s_den)
-               if s_num < s_den else np.uint64(0))
-
-        def sample_rows(batch: pa.Table) -> pa.Table:
-            from ..functions.hashing import splitmix64
-
-            k = batch[key_col].to_numpy(zero_copy_only=False)
-            if k.dtype.kind in "iu":
-                h = splitmix64(k)
-            elif k.dtype.kind == "O":  # strings: deterministic x-worker
-                import pandas as pd
-
-                h = pd.util.hash_array(np.asarray(k)).astype(np.uint64)
-            else:
-                # nullable ints arrive as float64: hashing rounded/NaN
-                # values silently breaks the deterministic-sample contract
-                # (same guard as textops.sample_by_hash)
-                raise TypeError(
-                    f"salt='auto' sampling needs an integer or string key "
-                    f"column; {key_col!r} has dtype {k.dtype}"
-                )
-            return batch.filter(pa.array(h < thr))
-
-        sampled = ds if s_num >= s_den else ds.map_batches(
-            sample_rows, batch_format="pyarrow"
-        )
+        sampled = sample_by_hash(ds, key_col, 0.0, num=s_num, den=s_den)
         hist, s_total = exchange.hot_key_histogram(
             sampled.map_batches(encode_points, batch_format="pyarrow"),
             "tile", top_n=64, with_total=True,
@@ -305,11 +299,7 @@ def shuffle_pip_join(ds, key_col: str, layer, level: int = 8,
                 pos_c = np.minimum(pos, len(hot_keys) - 1)
                 sn = np.where(hot_keys[pos_c] == tiles, hot_n[pos_c],
                               np.uint64(1))
-                s = (
-                    np.asarray(k_np).astype(np.uint64)
-                    * np.uint64(0x9E3779B97F4A7C15)
-                    >> np.uint64(33)
-                ) % sn
+                s = _key_hash(k_np) % sn
                 pk = (
                     tiles.astype(np.uint64)
                     * np.uint64(0xC2B2AE3D27D4EB4F) + s

@@ -808,7 +808,15 @@ def sample_by_hash(ds, key_col: str, frac: float, num: int | None = None,
     100 TB pipelines: sample once, join debug runs against it later).
     Pass num/den to pin an exact rational fraction (frac is then
     ignored); the threshold floor(2^64 * num / den) is computed in exact
-    integer arithmetic so the SQL twin matches bit-exactly."""
+    integer arithmetic so the SQL twin matches bit-exactly.
+
+    String keys are hashed with pd.util.hash_array (stable across
+    workers and runs, unlike builtin hash) — deterministic WITHIN this
+    engine but with no SQL twin; the bit-exact oracle contract applies
+    to integer keys only.  Float keys (what Arrow hands back for
+    nullable ints) are rejected: ids >= 2^53 would round BEFORE hashing
+    and NaN->uint64 is undefined, both silently breaking the same-keys
+    guarantee."""
     import pyarrow as pa
 
     from ..functions.hashing import splitmix64
@@ -825,14 +833,17 @@ def sample_by_hash(ds, key_col: str, frac: float, num: int | None = None,
 
     def fn(batch: pa.Table) -> pa.Table:
         k = batch[key_col].to_numpy(zero_copy_only=False)
-        if k.dtype.kind not in "iu":
-            # nulls make Arrow hand back float64: NaN->uint64 is UB and
-            # ids >= 2^53 round BEFORE hashing — either silently breaks
-            # the cross-engine same-keys guarantee
+        if k.dtype.kind in "iu":
+            h = splitmix64(k)
+        elif k.dtype.kind in "OUS":
+            import pandas as pd
+
+            h = pd.util.hash_array(np.asarray(k)).astype(np.uint64)
+        else:
             raise TypeError(
-                f"sample_by_hash needs a non-null integer key column; "
-                f"got dtype {k.dtype} for {key_col!r}"
+                f"sample_by_hash needs a non-null integer or string key "
+                f"column; got dtype {k.dtype} for {key_col!r}"
             )
-        return batch.filter(pa.array(splitmix64(k) < thr))
+        return batch.filter(pa.array(h < thr))
 
     return ds.map_batches(fn, batch_format="pyarrow")

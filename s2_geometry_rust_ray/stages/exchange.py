@@ -794,12 +794,16 @@ def hot_key_histogram(ds, key_col: str, top_n: int = 64,
 
     def partial(batch: pa.Table) -> pa.Table:
         k = batch[key_col].to_numpy(zero_copy_only=False)
-        if with_total and k.dtype.kind not in "iu":
-            # the sentinel trick needs an integer key domain; fail loudly
-            # instead of inside astype in a remote task
+        if with_total and k.dtype.kind != "i":
+            # the sentinel trick needs a SIGNED integer key domain: with
+            # uint64 keys np.concatenate([keys, [int64-min]]) promotes to
+            # float64, mangling keys >= 2^53 and aliasing 2^63-range keys
+            # onto the sentinel itself (their counts would be returned as
+            # the "total").  Fail loudly instead.
             raise TypeError(
-                f"hot_key_histogram(with_total=True) requires an integer "
-                f"key column; {key_col!r} has dtype {k.dtype}"
+                f"hot_key_histogram(with_total=True) requires a signed "
+                f"integer key column; {key_col!r} has dtype {k.dtype} "
+                "(use an int64 sort-key view for cell ids)"
             )
         uk, counts = np.unique(k, return_counts=True)
         if len(uk) > top_n:

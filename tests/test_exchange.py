@@ -575,3 +575,38 @@ def test_shuffle_pip_auto_sampled_histogram(ray_session):
     assert len(base) > 0
     assert base.equals(run("auto", (1, 8)))
     assert base.equals(run("auto", (1, 1)))
+
+
+def test_shuffle_pip_auto_string_keys(ray_session):
+    """String point keys through the salted path: the salt hash must fall
+    back to pd.util.hash_array (the integer multiply-shift would raise
+    inside add_part_key exactly when a hot tile is detected — a
+    data-dependent crash).  Output must match salt=1."""
+    import pandas as pd
+    import ray.data
+    from s2_geometry_rust_ray.pipelines import pip as ppip
+    from s2_geometry_rust_ray.pipelines import pip_shuffle
+
+    layer = ppip.standard_polygon_layer()
+    rng = np.random.default_rng(31)
+    n = 1500
+    hot = n // 3
+    lat = np.concatenate([40.75 + rng.uniform(-0.05, 0.05, hot),
+                          rng.uniform(-60, 60, n - hot)])
+    lng = np.concatenate([-74.0 + rng.uniform(-0.05, 0.05, hot),
+                          rng.uniform(-179, 179, n - hot)])
+    df = pd.DataFrame({"k": [f"img-{i:06d}" for i in range(n)],
+                       "lat": lat, "lng": lng})
+
+    def run(salt):
+        ds = ray.data.from_pandas(df).repartition(4)
+        return pip_shuffle.shuffle_pip_join(
+            ds, "k", layer, level=7, num_parts=4, salt=salt,
+            pretagged=True, hot_factor=0.5, hist_sample=(1, 1),
+        ).to_pandas().sort_values(["k", "polygon_id"]).reset_index(
+            drop=True)
+
+    base = run(1)
+    assert len(base) > 0
+    assert base.equals(run("auto"))
+    assert base.equals(run(8))

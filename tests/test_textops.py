@@ -667,8 +667,17 @@ def test_sample_by_hash_direct(ray_session):
     bad = ray.data.from_arrow(
         pa.table({"k": pa.array([1.5, 2.5], pa.float64())})
     )
-    with pytest.raises(Exception, match="integer key"):
+    with pytest.raises(Exception, match="integer or string key"):
         textops.sample_by_hash(bad, "k", 0.5).count()
+    # string keys: engine-deterministic (pd.util.hash_array), nested
+    # fractions stay subsets just like the integer path
+    sk = [f"doc-{i}" for i in range(2000)]
+    sds = ray.data.from_arrow(pa.table({"k": pa.array(sk, pa.string())}))
+    t10 = set(textops.sample_by_hash(sds, "k", 0.10).to_pandas()["k"])
+    t25 = set(textops.sample_by_hash(sds, "k", 0.25).to_pandas()["k"])
+    assert t10 <= t25 and 0.03 < len(t10) / 2000 < 0.2
+    t10b = set(textops.sample_by_hash(sds, "k", 0.10).to_pandas()["k"])
+    assert t10 == t10b  # reproducible across runs
 
 
 def test_sliding_window_counts_empty_block(ray_session):
