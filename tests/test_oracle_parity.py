@@ -63,6 +63,21 @@ def _compare(df_ray, df_sql, sort_cols):
         "lineitem_brand_sales",
         "img_caption_tokens_l6",
         "img_tile_counts_l8",
+        "doc_char_ngram_dedup",
+        "doc_exact_dedup",
+        "doc_near_dup_pairs",
+        "doc_simhash",
+        "doc_simhash_near_dup",
+        "doc_token_stats",
+        "events_window_1h",
+        "h3_tile_counts_r5",
+        "img_phash_near_dup",
+        "img_phash_verify",
+        "s2_boolean_pip_docs",
+        "s2_cap_bounds_l5",
+        "s2_loop_measures",
+        "s2_route_buffer_docs",
+        "s2_within_join_docs",
     ],
 )
 def test_query_matches_oracle(ray_session, con, name):
@@ -73,6 +88,24 @@ def test_query_matches_oracle(ray_session, con, name):
         res = res.to_pandas()
     ora = con.sql(e.oracle_sql()[name]).df()
     _compare(res, ora, list(res.columns))
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["ann_cosine_topk", "ann_ivf_topk", "ann_ivf_indexed_topk",
+     "emb_near_dup_pairs", "img_features"],
+)
+def test_rows_only_queries_smoke(ray_session, name):
+    """The five by-design rows-only queries (float-dot reductions / codec
+    features) must at least run and return rows at sf0.001 — their value
+    correctness is covered by brute-force pytest oracles and the Q15
+    hash-exact twins elsewhere in the suite."""
+    import __ray_entry__ as e
+
+    res = e.queries()[name](SF)
+    if hasattr(res, "to_pandas"):
+        res = res.to_pandas()
+    assert len(res) > 0
 
 
 def test_entry_smoke(ray_session):
