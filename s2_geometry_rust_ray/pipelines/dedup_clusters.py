@@ -68,6 +68,11 @@ def dedup_clusters(ids_ds, pairs_ds, id_col: str = "doc_id",
         i = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({id_col: i, "label": i})
 
+    # labels ARE materialized each round (unlike the r4-verdict
+    # pip_shuffle finding): an iterative fixpoint re-executes its whole
+    # lineage every pass otherwise (exponential).  The pinned set is
+    # (int64 id, int64 label) for near-dup CANDIDATES only — a small
+    # slice of the corpus — and plasma spills it if it outgrows memory.
     labels = ids_ds.map_batches(init_labels, batch_format="pyarrow").materialize()
 
     def label_sum(ds) -> int:
