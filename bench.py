@@ -624,6 +624,12 @@ def run_gated() -> dict:
     min_probe = float(os.environ.get("GRAFT_PROBE_MIN", "10"))
     max_wait = float(os.environ.get("GRAFT_PROBE_WAIT_MAX", "120"))
     attempts = max(1, int(os.environ.get("GRAFT_BENCH_ATTEMPTS", "2")))
+    # total-time guard: a retry after a badly throttled first run could
+    # push the invocation past an external timeout — skip further
+    # attempts once the budget is spent (the single captured run still
+    # self-annotates its window)
+    budget = float(os.environ.get("GRAFT_BENCH_BUDGET_S", "420"))
+    t_start = time.perf_counter()
     best = None
     for attempt in range(1, attempts + 1):
         waited = 0.0
@@ -638,7 +644,7 @@ def run_gated() -> dict:
         post = r.get("host_parallelism_probe") or 0
         if best is None or post > (best.get("host_parallelism_probe") or 0):
             best = r
-        if post >= min_probe:
+        if post >= min_probe or time.perf_counter() - t_start > budget:
             break
         if attempt < attempts and ray.is_initialized():
             ray.shutdown()  # fresh session for the retry
